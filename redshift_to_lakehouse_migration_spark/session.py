@@ -1,0 +1,62 @@
+"""SparkSession construction with scale-aware defaults.
+
+The engine runs on ``local[N]`` in tests but every default here is chosen to
+survive a 1000-executor cluster: AQE on (runtime re-plan, skew-join split,
+partition coalescing), broadcast threshold generous enough to broadcast all
+dimension tables, UTC session timezone so timestamp semantics are
+deployment-independent, Arrow enabled for the (rare) pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "redshift_to_lakehouse_migration_spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = {**DEFAULT_CONF, **(extra_conf or {})}
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session.
+
+    The correctness driver hands us its own SparkSession; timestamp-bearing
+    queries depend on UTC rendering, so we pin what can be pinned at runtime.
+    """
+    for k in ("spark.sql.session.timeZone",):
+        spark.conf.set(k, DEFAULT_CONF[k])
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        try:
+            spark.conf.set(k, DEFAULT_CONF[k])
+        except Exception:
+            pass  # static conf on some builds; defaults are already sane
+    return spark

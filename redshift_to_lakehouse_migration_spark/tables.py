@@ -1,0 +1,34 @@
+"""Loaders for the driver's TPC-H-ish parquet tables (see TESTDATA.md).
+
+All queries in the engine take ``(spark, sf_dir)`` and pull tables through
+``load``; at cluster scale the same call reads a partitioned table from object
+storage — Catalyst pushes filters/pruning into the parquet scan either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune_for_session
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension-sized tables: always broadcast-joinable against facts.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. UTC session TZ is pinned so timestamp columns
+    collect identically regardless of host timezone."""
+    tune_for_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register the driver tables as temp views for the SQL entry points."""
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,77 @@
+"""Unit tests for the scalar-function library, in the reference's style:
+tiny dirty fixtures (padded strings, empty-string dates, NULL keys) and
+assertions on each normalizer (`tests/test_silver_transforms.py:14-88`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redshift_to_lakehouse_migration_spark.functions import (
+    calendar_columns,
+    dsum,
+    empty_to_null,
+    full_name,
+    lookup_case,
+    norm_str,
+    sum_if,
+    surrogate_key,
+    tier_case,
+)
+
+
+def test_norm_str_and_empty_to_null(spark):
+    df = spark.createDataFrame(
+        [(" active ",), ("",), (None,), ("ho5",)], ["v"])
+    out = df.select(
+        norm_str("v").alias("n"),
+        empty_to_null("v").alias("e"),
+    ).collect()
+    assert [r.n for r in out] == ["ACTIVE", "", None, "HO5"]
+    assert [r.e for r in out] == [" active ", None, None, "ho5"]
+
+
+def test_full_name_skips_nulls(spark):
+    df = spark.createDataFrame([(" John ", " Smith "), ("Ann", None)],
+                               ["f", "l"])
+    out = df.select(full_name("f", "l").alias("n")).collect()
+    assert out[0].n == "John Smith"
+    assert out[1].n == "Ann"  # concat_ws skips NULL (documented delta)
+
+
+def test_surrogate_key_null_sentinel(spark):
+    df = spark.createDataFrame([("a", None)], "x string, y string")
+    got = df.select(surrogate_key("x", "y").alias("sk")).collect()[0].sk
+    import hashlib
+    assert got == hashlib.md5(b"a|_null_").hexdigest()
+
+
+def test_tier_and_lookup_case(spark):
+    df = spark.createDataFrame([("FRAME",), ("STEEL",), ("???",)], ["c"])
+    tiers = [(("FRAME", "WOOD"), "HIGH"), (("STEEL", "CONCRETE"), "LOW")]
+    out = df.select(tier_case("c", tiers).alias("t"),
+                    lookup_case("c", {"FRAME": "F", "STEEL": "S"},
+                                "UNK").alias("l")).collect()
+    assert [r.t for r in out] == ["HIGH", "LOW", "UNKNOWN"]
+    assert [r.l for r in out] == ["F", "S", "UNK"]
+
+
+def test_dsum_exact_and_sum_if(spark):
+    df = spark.createDataFrame(
+        [("A", 0.1), ("A", 0.2), ("B", 0.3)], ["k", "v"])
+    out = df.groupBy("k").agg(
+        dsum("v").alias("s"),
+        sum_if(F.col("v") > 0.15, "v").alias("c"),
+    ).orderBy("k").collect()
+    assert out[0].s == 0.3 and out[0].c == 0.2   # exact decimal, not 0.30000000000000004
+    assert out[1].s == 0.3 and out[1].c == 0.3
+
+
+def test_calendar_columns(spark):
+    df = spark.createDataFrame([("2024-07-06",)], ["d"]) \
+        .select(F.col("d").cast("date").alias("d"))
+    cols = calendar_columns("d")
+    row = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert row.year == 2024 and row.quarter == 3 and row.month == 7
+    assert row.day_of_week == 7 and row.is_weekend  # Saturday
+    assert row.is_hurricane_season and not row.is_winter_season
+    assert row.month_name == "July"

@@ -1,0 +1,71 @@
+"""Oracle parity for every registered query — the in-repo replica of the
+driver's correctness gate (reference mechanism: golden-output reconciliation,
+`migration_validation/reconciliation.py:39-155`).
+
+Runs at sf0.001 for speed; the driver re-runs the same contract at sf0.01.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from redshift_to_lakehouse_migration_spark.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def _hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return hashlib.md5("\n".join(sorted(
+        "\x1f".join(_norm(r[i]) for i in order) for r in rows
+    )).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, oracle_con):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert len(s_rows) >= 0  # rows-only contract
+        return
+    rel = oracle_con.sql(ORACLES[name])
+    d_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(s_rows) == len(d_rows)
+    assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
