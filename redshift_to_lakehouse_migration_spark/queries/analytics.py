@@ -1,4 +1,336 @@
-"""Placeholder — filled in as operators land."""
+"""Aggregation / sort / set-op / DQ-shaped analytics queries.
 
-QUERIES = {}
-ORACLES = {}
+Parity targets: SURVEY §2.4 (A1 group-by multi-aggregate, A2/A3 conditional
+aggregation, A4 global scalar aggregates, A6 DISTINCT, A7 frequency
+distribution, A8 composite-key duplicate detection), §2.6 (O1 order-by,
+O3 top-k by aggregate with HAVING — `governance/audit_queries.sql:28-38`),
+§2.7 (set ops — engine built-ins the reference lacks but our SCD2 needs),
+§2.2 P6/P7 (accepted-values and orphan checks as queries,
+`silver/utils/data_quality_checks.py:43-79`,
+`legacy_dbt_project/tests/assert_policy_has_property.sql:5-12`).
+
+Scale notes: every aggregate here is a map-side-combinable hash aggregate
+(one shuffle on the group keys); top-k does a partial per-partition take
+under AQE before the single-partition final sort; anti-joins broadcast the
+small side. No driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import count_if, davg, davg_sql, dsum, dsum_sql, sum_if
+from ..tables import load
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the classic pricing-summary shape (groupBy two flags, 8 measures)
+    — the engine twin of `int_premium_summary.sql:9-23` at lineitem grain."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charged = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc, scale=8, precision=30).alias("sum_disc_price"),
+            dsum(charged, scale=8, precision=30).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg(F.col("l_discount"), scale=4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def order_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/O1: categorical frequency distribution
+    (`migration_validation/reconciliation.py:104-105`)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("order_status")
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 top-k: revenue per customer with HAVING + deterministic tie-break
+    (`governance/audit_queries.sql:28-38` shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .groupBy("o_custkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                 scale=8, precision=30).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+        .filter(F.col("order_count") >= 3)
+    )
+    return (
+        rev.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"),
+                 "inner")
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.trim("c_name").alias("customer_name"),
+            F.col("revenue"),
+            F.col("order_count"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("customer_id"))
+        .limit(25)
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-anti: parents with no children (orphan detection idiom,
+    `silver/utils/data_quality_checks.py:67-79`)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select(F.col("c_custkey").alias("customer_id"),
+                F.trim("c_name").alias("customer_name"))
+    )
+
+
+def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/J4 referential-integrity check: child rows with no parent, expected
+    empty (`assert_policy_has_property.sql:5-12`)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .select(F.col("l_orderkey").alias("order_id"),
+                F.col("l_linenumber").alias("line_number"))
+    )
+
+
+def dq_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 composite-key duplicate detection
+    (`silver/utils/data_quality_checks.py:94-105`)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("order_id"),
+                   F.col("l_linenumber").alias("line_number"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 accepted-values check: rows outside the vocabulary, expected empty
+    (`silver/utils/data_quality_checks.py:43-64`)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+        .select(F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderstatus").alias("order_status"))
+    )
+
+
+def recon_global_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5/A6 reconciliation scalars: one row of SUM/AVG/MIN/MAX/COUNT/
+    COUNT DISTINCT per measure (`migration_validation/reconciliation.py:58-92`)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("row_count"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        dsum("l_extendedprice").alias("sum_extended_price"),
+        dsum("l_quantity").alias("sum_quantity"),
+        davg("l_discount", scale=4).alias("avg_discount"),
+        F.min("l_shipdate").cast("date").alias("min_ship_date"),
+        F.max("l_shipdate").cast("date").alias("max_ship_date"),
+    )
+
+
+def returned_or_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: UNION(distinct) ∪ then EXCEPT — order keys with returns
+    or still-open status, minus high-value orders."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    returned = (li.filter(F.col("l_returnflag") == "R")
+                .select(F.col("l_orderkey").alias("order_id")))
+    open_ = (o.filter(F.col("o_orderstatus") == "O")
+             .select(F.col("o_orderkey").alias("order_id")))
+    high_value = (o.filter(F.col("o_totalprice") > 400000)
+                  .select(F.col("o_orderkey").alias("order_id")))
+    return returned.union(open_).distinct().exceptAll(high_value.distinct())
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(nation, segment) — grouping-set aggregate over the star join
+    (engine capability beyond the reference; SURVEY §2.4 notes absence)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.rollup(F.col("n_name").alias("nation_name"),
+                      F.col("c_mktsegment").alias("market_segment"))
+        .agg(dsum("o_totalprice").alias("total_revenue"),
+             F.count("*").alias("order_count"))
+    )
+
+
+def premium_payment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A3 direct twin of `int_premium_summary.sql:10-22`: per parent key —
+    COUNT, MIN/MAX dates, conditional SUM per status, conditional late count,
+    AVG datediff."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+    ship_lag = F.datediff(F.col("l_shipdate").cast("date"),
+                          F.col("o_orderdate").cast("date"))
+    return (
+        j.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.count("*").alias("line_count"),
+            F.min(F.col("l_shipdate").cast("date")).alias("first_ship_date"),
+            F.max(F.col("l_shipdate").cast("date")).alias("last_ship_date"),
+            sum_if(F.col("l_returnflag") == "R", "l_extendedprice")
+                .alias("returned_amount"),
+            sum_if(F.col("l_returnflag") == "A", "l_extendedprice")
+                .alias("accepted_amount"),
+            sum_if(F.col("l_returnflag") == "N", "l_extendedprice")
+                .alias("neutral_amount"),
+            count_if(ship_lag > 90).alias("late_ship_count"),
+            F.avg(ship_lag).alias("avg_ship_lag_days"),
+        )
+    )
+
+
+QUERIES = {
+    "agg_pricing_summary": agg_pricing_summary,
+    "order_status_histogram": order_status_histogram,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "customers_without_orders": customers_without_orders,
+    "dq_orphan_lineitems": dq_orphan_lineitems,
+    "dq_duplicate_keys": dq_duplicate_keys,
+    "dq_accepted_values": dq_accepted_values,
+    "recon_global_aggregates": recon_global_aggregates,
+    "returned_or_open_orders": returned_or_open_orders,
+    "revenue_rollup": revenue_rollup,
+    "premium_payment_summary": premium_payment_summary,
+}
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+_CHARGED = "(l_extendedprice * (1 - l_discount)) * (1 + l_tax)"
+
+ORACLES = {
+    "agg_pricing_summary": f"""
+        SELECT
+            l_returnflag, l_linestatus,
+            {dsum_sql("l_quantity")} AS sum_qty,
+            {dsum_sql("l_extendedprice")} AS sum_base_price,
+            {dsum_sql(_DISC, 8, 30)} AS sum_disc_price,
+            {dsum_sql(_CHARGED, 8, 30)} AS sum_charge,
+            {davg_sql("l_quantity")} AS avg_qty,
+            {davg_sql("l_extendedprice")} AS avg_price,
+            {davg_sql("l_discount", 4)} AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "order_status_histogram": """
+        SELECT o_orderstatus AS order_status, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY order_status
+    """,
+    "top_customers_by_revenue": f"""
+        WITH rev AS (
+            SELECT o.o_custkey,
+                   {dsum_sql(_DISC, 8, 30)} AS revenue,
+                   COUNT(DISTINCT o.o_orderkey) AS order_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
+            HAVING COUNT(DISTINCT o.o_orderkey) >= 3
+        )
+        SELECT r.o_custkey AS customer_id, trim(c.c_name) AS customer_name,
+               r.revenue, r.order_count
+        FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+        ORDER BY r.revenue DESC, customer_id
+        LIMIT 25
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey AS customer_id, trim(c_name) AS customer_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+    """,
+    "dq_orphan_lineitems": """
+        SELECT l_orderkey AS order_id, l_linenumber AS line_number
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    "dq_duplicate_keys": """
+        SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+    """,
+    "dq_accepted_values": """
+        SELECT o_orderkey AS order_id, o_orderstatus AS order_status
+        FROM orders WHERE o_orderstatus NOT IN ('O','F','P')
+    """,
+    "recon_global_aggregates": f"""
+        SELECT
+            COUNT(*) AS row_count,
+            COUNT(DISTINCT l_orderkey) AS distinct_orders,
+            {dsum_sql("l_extendedprice")} AS sum_extended_price,
+            {dsum_sql("l_quantity")} AS sum_quantity,
+            {davg_sql("l_discount", 4)} AS avg_discount,
+            CAST(MIN(l_shipdate) AS DATE) AS min_ship_date,
+            CAST(MAX(l_shipdate) AS DATE) AS max_ship_date
+        FROM lineitem
+    """,
+    "returned_or_open_orders": """
+        SELECT order_id FROM (
+            SELECT l_orderkey AS order_id FROM lineitem
+            WHERE l_returnflag = 'R'
+            UNION
+            SELECT o_orderkey AS order_id FROM orders
+            WHERE o_orderstatus = 'O'
+        )
+        EXCEPT ALL
+        SELECT DISTINCT o_orderkey AS order_id FROM orders
+        WHERE o_totalprice > 400000
+    """,
+    "revenue_rollup": f"""
+        SELECT n.n_name AS nation_name, c.c_mktsegment AS market_segment,
+               {dsum_sql("o.o_totalprice")} AS total_revenue,
+               COUNT(*) AS order_count
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+    "premium_payment_summary": f"""
+        SELECT
+            o.o_custkey AS customer_id,
+            COUNT(*) AS line_count,
+            MIN(CAST(l.l_shipdate AS DATE)) AS first_ship_date,
+            MAX(CAST(l.l_shipdate AS DATE)) AS last_ship_date,
+            {dsum_sql("CASE WHEN l.l_returnflag='R' THEN l.l_extendedprice ELSE 0 END")}
+                AS returned_amount,
+            {dsum_sql("CASE WHEN l.l_returnflag='A' THEN l.l_extendedprice ELSE 0 END")}
+                AS accepted_amount,
+            {dsum_sql("CASE WHEN l.l_returnflag='N' THEN l.l_extendedprice ELSE 0 END")}
+                AS neutral_amount,
+            CAST(SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                         CAST(l.l_shipdate AS DATE)) > 90
+                          THEN 1 ELSE 0 END) AS BIGINT) AS late_ship_count,
+            AVG(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS avg_ship_lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    """,
+}

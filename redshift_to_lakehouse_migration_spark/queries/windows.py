@@ -1,4 +1,169 @@
-"""Placeholder — filled in as operators land."""
+"""Window-function queries.
 
-QUERIES = {}
-ORACLES = {}
+The reference has no window operators (SURVEY §2.5) — it sidesteps them with
+Delta MERGE for SCD2 and full overwrites for latest-record semantics. These
+are the standard Spark expressions of those same semantics, and the engine's
+pure-Spark SCD2 (``redshift_to_lakehouse_migration_spark.scd2``) builds on them:
+
+- dedup-to-latest: row_number() over (partition by key order by ts desc)
+- SCD2 interval derivation: lead() over the version sequence
+- running / moving aggregates with deterministic frame ordering
+
+Every window orders by a unique key suffix (date, order_id) so frames are
+deterministic — required both for oracle parity and for reproducible results
+across cluster sizes (ties + nondeterministic partition order otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-to-latest: the engine's standard alternative to the reference's
+    MERGE-based 'current version' semantics (SURVEY §2.5)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("latest_order_id"),
+            F.col("o_orderdate").cast("date").alias("latest_order_date"),
+            F.col("o_totalprice").alias("latest_total_price"),
+            F.col("o_orderstatus").alias("latest_status"),
+        )
+    )
+
+
+def order_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval derivation via lead(): each order of a customer becomes a
+    version row [effective_start, effective_end), open-ended current row —
+    the window-based twin of `gold/dim_policy.py:98-148`'s MERGE."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey"))
+    nxt = F.lead(F.col("o_orderdate").cast("date")).over(w)
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("effective_start_date"),
+        nxt.alias("effective_end_date"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).alias("version_number"),
+    )
+
+
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + moving average with explicit frames (deterministic
+    unique ordering)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey"))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    move = w.rowsBetween(-2, W.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(24,2)")
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+        F.sum(price_dec).over(run).cast("double").alias("running_revenue"),
+        (F.sum(price_dec).over(move).cast("double")
+         / F.count("*").over(move)).alias("moving_avg_3"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def order_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / lag across a joined dimension attribute."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"),
+               "inner")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        j.select(
+            F.col("c_mktsegment").alias("market_segment"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+            F.ntile(10).over(w).alias("price_decile"),
+            F.lag("o_totalprice", 1).over(w).alias("next_lower_price"),
+        )
+        .filter(F.col("price_rank") <= 100)
+    )
+
+
+QUERIES = {
+    "latest_order_per_customer": latest_order_per_customer,
+    "order_version_history": order_version_history,
+    "customer_running_revenue": customer_running_revenue,
+    "order_rank_in_segment": order_rank_in_segment,
+}
+
+ORACLES = {
+    "latest_order_per_customer": """
+        SELECT o_custkey AS customer_id,
+               o_orderkey AS latest_order_id,
+               CAST(o_orderdate AS DATE) AS latest_order_date,
+               o_totalprice AS latest_total_price,
+               o_orderstatus AS latest_status
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+    """,
+    "order_version_history": """
+        SELECT o_custkey AS customer_id,
+               o_orderkey AS order_id,
+               CAST(o_orderdate AS DATE) AS effective_start_date,
+               lead(CAST(o_orderdate AS DATE)) OVER w AS effective_end_date,
+               lead(CAST(o_orderdate AS DATE)) OVER w IS NULL AS is_current,
+               row_number() OVER w AS version_number
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "customer_running_revenue": """
+        SELECT o_custkey AS customer_id,
+               o_orderkey AS order_id,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_totalprice AS total_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS running_revenue,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS order_seq
+        FROM orders
+    """,
+    "order_rank_in_segment": """
+        SELECT * FROM (
+            SELECT c.c_mktsegment AS market_segment,
+                   o.o_orderkey AS order_id,
+                   o.o_totalprice AS total_price,
+                   rank() OVER w AS price_rank,
+                   dense_rank() OVER w AS price_dense_rank,
+                   ntile(10) OVER w AS price_decile,
+                   lag(o.o_totalprice, 1) OVER w AS next_lower_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WINDOW w AS (PARTITION BY c.c_mktsegment
+                         ORDER BY o.o_totalprice DESC, o.o_orderkey)
+        ) WHERE price_rank <= 100
+    """,
+}
