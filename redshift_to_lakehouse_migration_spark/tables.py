@@ -22,9 +22,22 @@ DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. UTC session TZ is pinned so timestamp columns
-    collect identically regardless of host timezone."""
+    collect identically regardless of host timezone.
+
+    The ``events`` table stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read nanos as long (``legacy.parquet.nanosAsLong``)
+    and rebuild a microsecond timestamp — the same truncation DuckDB applies.
+    """
     tune_for_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,
