@@ -1,4 +1,213 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over embedding columns (array<float>).
 
-QUERIES = {}
-ORACLES = {}
+Engine extensions (BASELINE.json north star):
+
+- ``knn_bruteforce``: exact cosine top-k — the correctness baseline. Small
+  query set × full scan; the query side broadcasts, the scan side streams,
+  so it parallelizes trivially (this is how you'd score 100 TB against a
+  fixed probe set).
+- ``ann_lsh_buckets`` / ``knn_lsh_bucketed``: the scale path — random
+  hyperplane (sign-LSH) bucketing with fixed seeded projections; candidate
+  generation is a bucket-equality join (shuffle on bucket id, never
+  quadratic), then exact cosine only within buckets.
+- ``embedding_stats``: per-label norm statistics (decimal-exact averages).
+
+All vector math is built-in higher-order functions (``zip_with`` +
+``aggregate`` fold) — JVM-side, no Python UDFs. Dot products fold
+left-to-right; the DuckDB oracles use ``list_reduce`` with the same
+fold order so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import davg, davg_sql
+from ..tables import load
+
+_DIM = 64
+_N_PLANES = 8
+_rng = random.Random(7)
+PROJECTIONS = [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)]
+               for _ in range(_N_PLANES)]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _proj_lit(j: int) -> Column:
+    return F.array(*[F.lit(c) for c in PROJECTIONS[j]])
+
+
+def _proj_sql(j: int) -> str:
+    return "[" + ", ".join(repr(c) for c in PROJECTIONS[j]) + "]"
+
+
+def _bucket_col(emb: Column) -> Column:
+    b = F.lit(0).cast("long")
+    for j in range(_N_PLANES):
+        b = b + F.when(_dot(emb, _proj_lit(j)) > 0,
+                       F.lit(1 << j).cast("long")).otherwise(0)
+    return b
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = [
+        f"CASE WHEN {_dot_sql(emb, _proj_sql(j))} > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(_N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for probe vectors (vec_id % 50 = 0)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    sim = (_dot(F.col("q_emb"), F.col("embedding"))
+           / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(sim, 9).alias("sim"),
+                F.col("label").alias("neighbor_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment (8 fixed hyperplanes → 256 buckets)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label",
+        _bucket_col(F.col("embedding")).alias("bucket_id"),
+    )
+
+
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 within LSH buckets: bucket-equality join (never quadratic),
+    exact cosine re-rank inside each bucket."""
+    e = load(spark, sf_dir, "embeddings")
+    withb = e.select(
+        "vec_id", "embedding",
+        _bucket_col(F.col("embedding")).alias("bucket_id"))
+    a = withb.alias("a")
+    b = withb.alias("b")
+    sim = (_dot(F.col("a.embedding"), F.col("b.embedding"))
+           / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        a.join(b, (F.col("a.bucket_id") == F.col("b.bucket_id"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                F.col("a.bucket_id").alias("bucket_id"),
+                F.round(sim, 9).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics with decimal-exact averages."""
+    e = load(spark, sf_dir, "embeddings")
+    n = _norm(F.col("embedding"))
+    return (
+        e.select("vec_id", "label", n.alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"),
+             davg("norm", scale=9, precision=24).alias("avg_norm"),
+             F.min("norm").alias("min_norm"),
+             F.max("norm").alias("max_norm"))
+        .orderBy("label")
+    )
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "knn_lsh_bucketed": knn_lsh_bucketed,
+    "embedding_stats": embedding_stats,
+}
+
+_SIM = (f"round({_dot_sql('q.q_emb', 'e.embedding')} / "
+        f"({_norm_sql('q.q_emb')} * {_norm_sql('e.embedding')}), 9)")
+_SIM_AB = (f"round({_dot_sql('a.embedding', 'b.embedding')} / "
+           f"({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 9)")
+
+ORACLES = {
+    "knn_bruteforce": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id % 50 = 0
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_SIM} AS sim, e.label AS neighbor_label
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    "ann_lsh_buckets": f"""
+        SELECT vec_id, label, {_bucket_sql("embedding")} AS bucket_id
+        FROM embeddings
+    """,
+    "knn_lsh_bucketed": f"""
+        WITH withb AS (
+            SELECT vec_id, embedding,
+                   {_bucket_sql("embedding")} AS bucket_id
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   a.bucket_id AS bucket_id, {_SIM_AB} AS sim
+            FROM withb a JOIN withb b
+              ON a.bucket_id = b.bucket_id AND a.vec_id <> b.vec_id
+        )
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM pairs
+        ) WHERE rank <= 3
+    """,
+    "embedding_stats": f"""
+        SELECT label, COUNT(*) AS n_vectors,
+               {davg_sql(f"{_norm_sql('embedding')}", 9, 24)} AS avg_norm,
+               MIN({_norm_sql("embedding")}) AS min_norm,
+               MAX({_norm_sql("embedding")}) AS max_norm
+        FROM embeddings
+        GROUP BY label ORDER BY label
+    """,
+}

@@ -1,4 +1,198 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators for LLM training-data pipelines.
 
-QUERIES = {}
-ORACLES = {}
+Engine extensions beyond the reference (BASELINE.json north star): language
+ID (marker-word n-gram heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting, document fingerprinting, corpus token
+histogram. All are built-in-expression only (regexp/split/length — JVM-side,
+codegen'd); no Python UDFs, so they scale linearly with input and survive
+100 TB (the only shuffle is the token histogram's groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+# marker-word vocabularies per language (n-gram heuristic; deterministic
+# tie-break by vocabulary order)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|is|was)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "es": r"\b(el|la|los|las|es)\b",
+    "fr": r"\b(le|la|les|est|et)\b",
+}
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, char ratios, stopword
+    ratio, and a composite quality score."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    return (
+        d.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+        .select(
+            F.col("doc_id"),
+            F.col("lang").alias("lang_label"),
+            n_chars.alias("n_chars"),
+            n_tokens.cast("long").alias("n_tokens"),
+            (n_nonspace / n_tokens).alias("avg_token_len"),
+            punct_ratio.alias("punct_ratio"),
+            n_stop.cast("long").alias("stopword_count"),
+            stop_ratio.alias("stopword_ratio"),
+            # composite quality score: enough tokens, low punct noise,
+            # non-degenerate stopword mix
+            (F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+             * (1 - punct_ratio)
+             * F.when(stop_ratio.between(0.01, 0.6), 1.0).otherwise(0.5)
+             ).alias("quality_score"),
+        )
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score each language vocabulary per document,
+    argmax with deterministic tie-break; compare against the lang label."""
+    d = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scores = {k: F.regexp_count(low, F.lit(pat))
+              for k, pat in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so earlier vocabularies win ties (deterministic)
+    for k in reversed(list(scores)):
+        pred = F.when((scores[k] == best) & (best > 0), k).otherwise(pred)
+    return d.select(
+        F.col("doc_id"),
+        F.col("lang").alias("lang_label"),
+        *[v.cast("long").alias(f"score_{k}") for k, v in scores.items()],
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("matches_label"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints: md5 of whitespace-normalized
+    lowercase text, plus prefix/suffix block hashes (cheap near-dup signal)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        F.col("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_fingerprint"),
+        F.md5(F.reverse(norm).substr(1, 64)).alias("suffix_fingerprint"),
+        F.length(norm).alias("norm_length"),
+    )
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: explode → groupBy → top 100 with deterministic
+    tie-break. At 100 TB this is the canonical two-stage (partial + final)
+    hash aggregate; no other shuffle."""
+    d = load(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        d.filter(F.col("text").isNotNull()
+                 & (F.length(F.trim(F.col("text"))) > 0))
+        .select(tok.alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "token_histogram": token_histogram,
+}
+
+_LANG_SCORE_SQL = {
+    k: f"len(regexp_extract_all(lower(text), '{pat}'))"
+    for k, pat in LANG_MARKERS.items()
+}
+_BEST = "greatest(" + ", ".join(_LANG_SCORE_SQL.values()) + ")"
+_PRED = "CASE "
+for _k in LANG_MARKERS:  # first vocabulary wins ties, same as Spark side
+    _PRED += (f"WHEN {_LANG_SCORE_SQL[_k]} = {_BEST} AND {_BEST} > 0 "
+              f"THEN '{_k}' ")
+_PRED += "ELSE 'und' END"
+
+ORACLES = {
+    "text_stats": f"""
+        SELECT
+            doc_id,
+            lang AS lang_label,
+            length(text) AS n_chars,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                AS n_tokens,
+            length(regexp_replace(text, '\\s', '', 'g'))
+                / len(regexp_split_to_array(trim(text), '\\s+'))
+                AS avg_token_len,
+            length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+                AS punct_ratio,
+            CAST(len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT)
+                AS stopword_count,
+            len(regexp_extract_all(lower(text), '{_STOP_RE}'))
+                / len(regexp_split_to_array(trim(text), '\\s+'))
+                AS stopword_ratio,
+            least(len(regexp_split_to_array(trim(text), '\\s+')) / 50.0, 1.0)
+            * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   / length(text))
+            * CASE WHEN len(regexp_extract_all(lower(text), '{_STOP_RE}'))
+                        / len(regexp_split_to_array(trim(text), '\\s+'))
+                        BETWEEN 0.01 AND 0.6
+                   THEN 1.0 ELSE 0.5 END AS quality_score
+        FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
+    """,
+    "lang_id": f"""
+        SELECT
+            doc_id,
+            lang AS lang_label,
+            {", ".join(f"CAST({v} AS BIGINT) AS score_{k}"
+                       for k, v in _LANG_SCORE_SQL.items())},
+            {_PRED} AS predicted_lang,
+            {_PRED} = lang AS matches_label
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT
+            doc_id,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                AS fingerprint,
+            md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       1, 64)) AS prefix_fingerprint,
+            md5(substr(reverse(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                              'g')), 1, 64))
+                AS suffix_fingerprint,
+            length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                AS norm_length
+        FROM documents
+    """,
+    "token_histogram": """
+        SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS token
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY freq DESC, token
+        LIMIT 100
+    """,
+}
