@@ -1,0 +1,246 @@
+"""Data-quality framework (the reference's distinctive surface, SURVEY §2.11).
+
+Re-expresses `silver/utils/data_quality_checks.py` and
+`silver/utils/schema_validator.py` with one crucial scale fix: the reference
+runs each check as its own Spark job (~10 jobs per table, SURVEY §3 entry 2 /
+§7.3 risk 5). Here every column-level check compiles to an aggregate
+expression, and ``run_checks`` fuses ALL of them into a single ``df.agg``
+pass — one job, one scan, regardless of how many checks. At 100 TB that is
+the difference between one table scan and ten.
+
+Check results use the fixed schema of the reference's validation-results
+table (`infrastructure/unity_catalog/setup_catalog.sql:32-49`).
+
+Relationship (anti-join) checks can't be a pure aggregate; they run as one
+broadcast-anti-join job each (`data_quality_checks.py:67-79`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RESULT_SCHEMA = T.StructType([
+    T.StructField("check_name", T.StringType(), False),
+    T.StructField("table_name", T.StringType(), True),
+    T.StructField("column_name", T.StringType(), True),
+    T.StructField("passed", T.BooleanType(), False),
+    T.StructField("failed_count", T.LongType(), True),
+    T.StructField("total_count", T.LongType(), True),
+    T.StructField("failed_pct", T.DoubleType(), True),
+    T.StructField("details", T.StringType(), True),
+])
+
+
+@dataclass
+class CheckResult:
+    """Outcome of one DQ check (`data_quality_checks.py:18-25` shape)."""
+    check_name: str
+    table_name: str | None
+    column_name: str | None
+    passed: bool
+    failed_count: int | None
+    total_count: int | None
+    details: str | None = None
+
+    @property
+    def failed_pct(self) -> float | None:
+        if self.failed_count is None or not self.total_count:
+            return None
+        return 100.0 * self.failed_count / self.total_count
+
+    def as_row(self) -> tuple:
+        return (self.check_name, self.table_name, self.column_name,
+                self.passed, self.failed_count, self.total_count,
+                self.failed_pct, self.details)
+
+
+@dataclass
+class Check:
+    """A named check that contributes one failed-count aggregate column."""
+    name: str
+    column: str | None
+    failed_expr: Column  # aggregate expr → number of failing rows
+    details: str | None = None
+
+
+# ---------------------------------------------------------------------------
+# Check builders (each returns a Check whose expr is fused into one agg pass)
+# ---------------------------------------------------------------------------
+
+def not_null(column: str) -> Check:
+    """`check_not_null` (`data_quality_checks.py:14-25`)."""
+    return Check(
+        f"not_null_{column}", column,
+        F.sum(F.when(F.col(column).isNull(), 1).otherwise(0)).cast("long"),
+    )
+
+
+def unique(column: str) -> Check:
+    """`check_unique` (`data_quality_checks.py:28-40`): total − distinct."""
+    return Check(
+        f"unique_{column}", column,
+        (F.count(column) - F.countDistinct(column)).cast("long"),
+    )
+
+
+def accepted_values(column: str, accepted: list[Any]) -> Check:
+    """`check_accepted_values` (`data_quality_checks.py:43-64`)."""
+    return Check(
+        f"accepted_values_{column}", column,
+        F.sum(F.when(F.col(column).isNotNull()
+                     & ~F.col(column).isin(accepted), 1)
+              .otherwise(0)).cast("long"),
+        details=f"accepted={accepted}",
+    )
+
+
+def in_range(column: str, min_value: Any = None,
+             max_value: Any = None) -> Check:
+    """Numeric/date range check (generalizes `claim_amount >= 0`,
+    `silver/clean_claims.py:34`)."""
+    cond = F.lit(False)
+    if min_value is not None:
+        cond = cond | (F.col(column) < min_value)
+    if max_value is not None:
+        cond = cond | (F.col(column) > max_value)
+    return Check(
+        f"in_range_{column}", column,
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long"),
+        details=f"range=[{min_value}, {max_value}]",
+    )
+
+
+def composite_unique(columns: list[str]) -> Check:
+    """`check_no_duplicates_on_composite_key` (`data_quality_checks.py:94-105`)."""
+    key = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("_null_"))
+        for c in columns])
+    return Check(
+        "composite_unique_" + "_".join(columns), ",".join(columns),
+        (F.count(F.lit(1)) - F.countDistinct(key)).cast("long"),
+    )
+
+
+def expression_check(name: str, failing_condition: Column,
+                     details: str | None = None) -> Check:
+    """Escape hatch: any boolean row condition counted as failures."""
+    return Check(
+        name, None,
+        F.sum(F.when(failing_condition, 1).otherwise(0)).cast("long"),
+        details=details,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Runners
+# ---------------------------------------------------------------------------
+
+def run_checks(df: DataFrame, checks: list[Check],
+               table_name: str | None = None) -> list[CheckResult]:
+    """Run all column-level checks in ONE aggregate pass (single scan)."""
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, c in enumerate(checks):
+        aggs.append(c.failed_expr.alias(f"__c{i}"))
+    row = df.agg(*aggs).collect()[0]
+    total = row["__total"]
+    return [
+        CheckResult(
+            check_name=c.name, table_name=table_name, column_name=c.column,
+            passed=(row[f"__c{i}"] or 0) == 0,
+            failed_count=row[f"__c{i}"] or 0, total_count=total,
+            details=c.details,
+        )
+        for i, c in enumerate(checks)
+    ]
+
+
+def check_relationships(df: DataFrame, column: str, ref_df: DataFrame,
+                        ref_column: str,
+                        table_name: str | None = None) -> CheckResult:
+    """Referential integrity via broadcast LEFT ANTI join
+    (`data_quality_checks.py:67-79`). One job; the reference side is
+    broadcast when dimension-sized, else a shuffled anti-join."""
+    orphans = (
+        df.filter(F.col(column).isNotNull())
+        .join(ref_df.select(F.col(ref_column).alias(column)).distinct(),
+              on=column, how="left_anti")
+    )
+    n = orphans.count()
+    return CheckResult(
+        check_name=f"relationships_{column}", table_name=table_name,
+        column_name=column, passed=n == 0, failed_count=n, total_count=None,
+        details=f"ref={ref_column}",
+    )
+
+
+def row_count_range(df: DataFrame, min_rows: int, max_rows: int | None = None,
+                    table_name: str | None = None) -> CheckResult:
+    """`check_row_count_range` (`data_quality_checks.py:82-91`)."""
+    n = df.count()
+    ok = n >= min_rows and (max_rows is None or n <= max_rows)
+    return CheckResult(
+        check_name="row_count_range", table_name=table_name, column_name=None,
+        passed=ok, failed_count=None, total_count=n,
+        details=f"range=[{min_rows}, {max_rows}]",
+    )
+
+
+def results_df(spark: SparkSession,
+               results: list[CheckResult]) -> DataFrame:
+    """Materialize results with the reference's validation-log schema
+    (`setup_catalog.sql:32-49`)."""
+    return spark.createDataFrame([r.as_row() for r in results],
+                                 RESULT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Schema validation (`silver/utils/schema_validator.py`)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SchemaValidation:
+    is_valid: bool
+    missing_columns: list[str] = field(default_factory=list)
+    extra_columns: list[str] = field(default_factory=list)
+    type_mismatches: list[tuple[str, str, str]] = field(default_factory=list)
+
+
+def validate_schema(df: DataFrame, expected: T.StructType,
+                    strict: bool = False) -> SchemaValidation:
+    """`validate_schema(df, expected, strict)` (`schema_validator.py:13-57`):
+    missing/extra columns + type mismatches; strict mode fails on extras."""
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    exp = {f.name: f.dataType for f in expected.fields}
+    missing = sorted(set(exp) - set(actual))
+    extra = sorted(set(actual) - set(exp))
+    mismatched = [
+        (name, str(exp[name]), str(actual[name]))
+        for name in sorted(set(exp) & set(actual))
+        if exp[name] != actual[name]
+    ]
+    ok = not missing and not mismatched and (not strict or not extra)
+    return SchemaValidation(ok, missing, extra, mismatched)
+
+
+def compare_schemas(a: DataFrame, b: DataFrame,
+                    ignore_metadata_cols: bool = True) -> SchemaValidation:
+    """Drift report between two DataFrames (`schema_validator.py:60-94`);
+    `_`-prefixed lineage columns excluded like the reconciliation harness
+    (`migration_validation/reconciliation.py:140-141`)."""
+    def cols(df: DataFrame) -> dict[str, T.DataType]:
+        return {f.name: f.dataType for f in df.schema.fields
+                if not (ignore_metadata_cols and f.name.startswith("_"))}
+    ca, cb = cols(a), cols(b)
+    missing = sorted(set(ca) - set(cb))
+    extra = sorted(set(cb) - set(ca))
+    mismatched = [
+        (n, str(ca[n]), str(cb[n]))
+        for n in sorted(set(ca) & set(cb)) if ca[n] != cb[n]
+    ]
+    return SchemaValidation(not missing and not extra and not mismatched,
+                            missing, extra, mismatched)

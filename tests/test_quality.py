@@ -1,0 +1,72 @@
+"""DQ framework tests in the reference's style: pass/fail micro-DataFrames
+(`tests/test_data_quality.py:16-69`), plus the fused-single-pass guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from redshift_to_lakehouse_migration_spark import quality as q
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [("P1", "ACTIVE", 100.0),
+         ("P2", "ACTIVE", -5.0),
+         ("P2", "BOGUS", 50.0),
+         (None, "EXPIRED", 10.0)],
+        "policy_id string, status string, amount double")
+
+
+def test_fused_checks(spark):
+    df = _df(spark)
+    results = q.run_checks(df, [
+        q.not_null("policy_id"),
+        q.unique("policy_id"),
+        q.accepted_values("status", ["ACTIVE", "EXPIRED", "CANCELLED"]),
+        q.in_range("amount", min_value=0),
+        q.composite_unique(["policy_id", "status"]),
+    ], table_name="policies")
+    by_name = {r.check_name: r for r in results}
+    assert not by_name["not_null_policy_id"].passed
+    assert by_name["not_null_policy_id"].failed_count == 1
+    assert not by_name["unique_policy_id"].passed          # P2 twice
+    assert by_name["accepted_values_status"].failed_count == 1
+    assert by_name["in_range_amount"].failed_count == 1
+    assert by_name["composite_unique_policy_id_status"].passed
+    assert all(r.total_count == 4 for r in results)
+
+
+def test_relationships_and_rowcount(spark):
+    child = spark.createDataFrame(
+        [("C1", "P1"), ("C2", "P9"), ("C3", None)],
+        "claim_id string, policy_id string")
+    parent = spark.createDataFrame([("P1",), ("P2",)], "policy_id string")
+    r = q.check_relationships(child, "policy_id", parent, "policy_id")
+    assert not r.passed and r.failed_count == 1  # P9 orphan; NULL ignored
+    rc = q.row_count_range(child, 1, 10)
+    assert rc.passed and rc.total_count == 3
+
+
+def test_results_df_schema(spark):
+    results = q.run_checks(_df(spark), [q.not_null("policy_id")], "t")
+    df = q.results_df(spark, results)
+    assert df.schema == q.RESULT_SCHEMA
+    assert df.count() == 1
+
+
+def test_validate_schema_and_drift(spark):
+    df = spark.createDataFrame([("a", 1)], "x string, y int")
+    expected = T.StructType([
+        T.StructField("x", T.StringType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+    ])
+    v = q.validate_schema(df, expected)
+    assert not v.is_valid
+    assert v.missing_columns == ["z"]
+    assert v.type_mismatches == [("y", "LongType()", "IntegerType()")]
+
+    other = spark.createDataFrame([("a", 1, "m")],
+                                  "x string, y int, _meta string")
+    drift = q.compare_schemas(df, other)
+    assert drift.is_valid  # _meta ignored like the recon harness
