@@ -1,0 +1,55 @@
+"""Bronze layer: raw ingestion with lineage metadata (SURVEY §2.1 S1/S6).
+
+Parity: `bronze/ingest_policies.py:28-97` — explicit schema (never
+inferSchema), permissive append writes, and the three lineage columns
+(`_ingestion_timestamp`, `_source_file`, `_batch_id`;
+`ingest_policies.py:55-65`). Storage format is parquet here (Delta-optional
+design, SURVEY §7.0); the write path takes any format string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def add_metadata_columns(df: DataFrame,
+                         batch_id: int | None = None) -> DataFrame:
+    """Lineage columns (`bronze/ingest_policies.py:55-65`). ``batch_id``
+    defaults to ingest-time epoch; pass one for reproducible runs."""
+    bid = (F.lit(batch_id).cast("long") if batch_id is not None
+           else F.current_timestamp().cast("long"))
+    return (
+        df.withColumn("_ingestion_timestamp", F.current_timestamp())
+        .withColumn("_source_file", F.input_file_name())
+        .withColumn("_batch_id", bid)
+    )
+
+
+def read_csv(spark: SparkSession, source_path: str,
+             schema: T.StructType) -> DataFrame:
+    """CSV scan with explicit schema, header, no inference (S1,
+    `bronze/ingest_policies.py:76-81`)."""
+    return (
+        spark.read
+        .option("header", "true")
+        .option("inferSchema", "false")
+        .schema(schema)
+        .csv(source_path)
+    )
+
+
+def ingest_batch(spark: SparkSession, source_path: str,
+                 schema: T.StructType, target_path: str,
+                 batch_id: int | None = None,
+                 fmt: str = "parquet") -> int:
+    """Batch ingest: scan → metadata → append (S1+S6,
+    `bronze/ingest_policies.py:68-97`). Returns ingested row count from the
+    write-side observation (no extra count job over the source)."""
+    from pyspark.sql import Observation
+    df = add_metadata_columns(read_csv(spark, source_path, schema), batch_id)
+    obs = Observation("bronze_ingest")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    observed.write.format(fmt).mode("append").save(target_path)
+    return int(obs.get["rows"])

@@ -1,0 +1,90 @@
+"""In-session pipeline DAG runner.
+
+The reference orchestrates its medallion DAG as Databricks Workflow tasks —
+every bronze→silver→gold arrow is a separate Spark application with Delta
+tables as the hand-off (`databricks.yml:131-224`; SURVEY §3). This runner
+keeps the same dependency semantics inside ONE SparkSession: nodes declare
+upstream names, execute topologically, and hand DataFrames directly to
+downstream nodes — no per-task cluster spin-up, no forced materialization
+between layers (Catalyst sees through the whole chain unless a node opts
+into persistence).
+
+Nodes may opt into materialization (``materialize="path/.../table"``) to cut
+lineage for iterative jobs or to publish a layer; that is the 100 TB
+behavior too — facts publish, intermediate cleans stream through.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Node:
+    name: str
+    fn: Callable[..., DataFrame]          # fn(spark, **upstream_dfs)
+    deps: list[str] = field(default_factory=list)
+    materialize: str | None = None        # parquet path to publish to
+    partition_by: list[str] | None = None
+
+
+@dataclass
+class NodeRun:
+    name: str
+    seconds: float
+    rows: int | None = None
+
+
+class Pipeline:
+    """A named DAG of DataFrame-producing nodes."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._nodes: dict[str, Node] = {}
+
+    def add(self, name: str, fn: Callable[..., DataFrame],
+            deps: list[str] | None = None,
+            materialize: str | None = None,
+            partition_by: list[str] | None = None) -> "Pipeline":
+        if name in self._nodes:
+            raise ValueError(f"duplicate node {name!r}")
+        self._nodes[name] = Node(name, fn, deps or [], materialize,
+                                 partition_by)
+        return self
+
+    def run(self, count_rows: bool = False
+            ) -> tuple[dict[str, DataFrame], list[NodeRun]]:
+        """Execute topologically; returns node outputs + per-node metrics.
+
+        ``count_rows`` adds a count job per node (the reference counts every
+        layer, SURVEY §3; off by default — at scale you want the fused
+        DQ pass to report counts instead).
+        """
+        order = TopologicalSorter(
+            {n.name: set(n.deps) for n in self._nodes.values()})
+        outputs: dict[str, DataFrame] = {}
+        runs: list[NodeRun] = []
+        for name in order.static_order():
+            node = self._nodes[name]
+            missing = [d for d in node.deps if d not in outputs]
+            if missing:
+                raise ValueError(f"node {name!r} missing deps {missing}")
+            t0 = time.perf_counter()
+            df = node.fn(self.spark,
+                         **{d: outputs[d] for d in node.deps})
+            if node.materialize:
+                writer = df.write.mode("overwrite")
+                if node.partition_by:
+                    writer = writer.partitionBy(*node.partition_by)
+                writer.parquet(node.materialize)
+                df = self.spark.read.parquet(node.materialize)
+            outputs[name] = df
+            runs.append(NodeRun(
+                name, round(time.perf_counter() - t0, 3),
+                df.count() if count_rows else None))
+        return outputs, runs

@@ -1,0 +1,160 @@
+"""End-to-end medallion pipeline test: generated dirty CSVs → bronze ingest
+→ silver clean+validate → gold dims/facts + SCD2, all in one SparkSession
+via the DAG runner (the reference's bronze→silver→gold workflow,
+`databricks.yml:131-224`, collapsed in-session)."""
+
+from __future__ import annotations
+
+import pytest
+
+from redshift_to_lakehouse_migration_spark import datagen
+from redshift_to_lakehouse_migration_spark import schemas as S
+from redshift_to_lakehouse_migration_spark.medallion import bronze, gold, silver
+from redshift_to_lakehouse_migration_spark.pipeline import Pipeline
+from redshift_to_lakehouse_migration_spark.scd2 import scd2_merge
+
+AS_OF = "2024-06-01"
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw")
+    counts = datagen.generate(str(d), n_policies=120, seed=42)
+    assert counts["policies"] == 121  # incl. dirty empty-id row
+    return d
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(spark, raw_dir, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+
+    def bronze_node(table, schema):
+        def fn(s):
+            path = str(warehouse / f"bronze_{table}")
+            bronze.ingest_batch(s, str(raw_dir / f"raw_{table}.csv"),
+                                schema, path, batch_id=1)
+            return s.read.parquet(path)
+        return fn
+
+    p = Pipeline(spark)
+    p.add("bronze_policies", bronze_node("policies", S.RAW_POLICIES))
+    p.add("bronze_claims", bronze_node("claims", S.RAW_CLAIMS))
+    p.add("bronze_premiums", bronze_node("premiums", S.RAW_PREMIUMS))
+    p.add("bronze_properties", bronze_node("properties", S.RAW_PROPERTIES))
+    p.add("silver_policies",
+          lambda s, bronze_policies: silver.transform_policies(
+              bronze_policies), deps=["bronze_policies"])
+    p.add("silver_claims",
+          lambda s, bronze_claims: silver.transform_claims(bronze_claims),
+          deps=["bronze_claims"])
+    p.add("silver_premiums",
+          lambda s, bronze_premiums: silver.transform_premiums(
+              bronze_premiums), deps=["bronze_premiums"])
+    p.add("silver_properties",
+          lambda s, bronze_properties: silver.transform_properties(
+              bronze_properties), deps=["bronze_properties"])
+    p.add("premium_summary",
+          lambda s, silver_premiums: gold.build_premium_summary(
+              silver_premiums), deps=["silver_premiums"])
+    p.add("dim_policy",
+          lambda s, silver_policies, premium_summary: gold.build_dim_policy(
+              silver_policies, premium_summary, AS_OF),
+          deps=["silver_policies", "premium_summary"])
+    p.add("dim_property",
+          lambda s, silver_properties: gold.build_dim_property(
+              silver_properties, AS_OF), deps=["silver_properties"])
+    p.add("dim_coverage",
+          lambda s, silver_policies: gold.build_dim_coverage(silver_policies),
+          deps=["silver_policies"])
+    p.add("fact_claims",
+          lambda s, silver_claims, silver_policies, silver_properties:
+          gold.build_fact_claims(silver_claims, silver_policies,
+                                 silver_properties),
+          deps=["silver_claims", "silver_policies", "silver_properties"],
+          materialize=str(warehouse / "fact_claims"),
+          partition_by=["property_state"])
+    p.add("fact_premiums",
+          lambda s, silver_premiums, silver_policies:
+          gold.build_fact_premiums(silver_premiums, silver_policies),
+          deps=["silver_premiums", "silver_policies"])
+    outputs, runs = p.run(count_rows=True)
+    return outputs, runs, warehouse
+
+
+def test_bronze_metadata_and_counts(pipeline_outputs):
+    outputs, runs, _ = pipeline_outputs
+    bp = outputs["bronze_policies"]
+    assert {"_ingestion_timestamp", "_source_file", "_batch_id"} <= \
+        set(bp.columns)
+    assert bp.count() == 121
+
+
+def test_silver_filters_dirty_rows(pipeline_outputs):
+    outputs, _, _ = pipeline_outputs
+    sp = outputs["silver_policies"]
+    assert sp.count() == 120          # empty-id row dropped
+    row = sp.filter("policy_id = 'POL-0000000'").collect()[0]
+    assert row.policyholder_name == "John Smith"   # trimmed + concat
+    assert row.status == "ACTIVE"                  # upper∘trim
+    assert row.email == "john@test.com"
+    hо5 = sp.filter("policy_id = 'POL-0000001'").collect()[0]
+    assert hо5.coverage_type_code == "HO5"         # uppercased
+
+
+def test_silver_validation_fused(pipeline_outputs, spark):
+    outputs, _, _ = pipeline_outputs
+    results = silver.validate_policies(outputs["silver_policies"])
+    assert all(r.passed for r in results)
+    cl = silver.validate_claims(outputs["silver_claims"])
+    assert {r.check_name: r.passed for r in cl}["unique_claim_id"]
+
+
+def test_gold_dim_policy(pipeline_outputs):
+    outputs, _, _ = pipeline_outputs
+    dp = outputs["dim_policy"]
+    assert dp.filter("is_current").count() == 120
+    row = dp.filter("policy_id = 'POL-0000000'").collect()[0]
+    assert row.policy_term_days == 365
+    assert row.status_category == "IN_FORCE"
+    assert len(row.policy_sk) == 32
+
+
+def test_gold_fact_claims_partitioned(pipeline_outputs):
+    outputs, runs, warehouse = pipeline_outputs
+    fc = outputs["fact_claims"]
+    # orphan claim (POL-9999999) dropped by the inner enrichment join
+    assert fc.filter("policy_id = 'POL-9999999'").count() == 0
+    assert fc.filter("net_claim_payout > claim_amount").count() == 0
+    # partitioned layout on disk (gold/fact_claims.py:99-104)
+    parts = [x.name for x in (warehouse / "fact_claims").iterdir()
+             if x.name.startswith("property_state=")]
+    assert len(parts) > 1
+
+
+def test_gold_fact_premiums_flags(pipeline_outputs):
+    outputs, _, _ = pipeline_outputs
+    fp = outputs["fact_premiums"]
+    bad = fp.filter("is_late AND days_late <= 0").count()
+    assert bad == 0
+    collected = fp.filter("payment_status <> 'COMPLETED' "
+                          "AND collected_amount <> 0").count()
+    assert collected == 0
+
+
+def test_scd2_roundtrip_on_dim_policy(pipeline_outputs, spark):
+    outputs, _, _ = pipeline_outputs
+    dim = outputs["dim_policy"]
+    payload = [c for c in dim.columns
+               if c not in ("effective_start_date", "effective_end_date",
+                            "is_current")]
+    from pyspark.sql import functions as F
+    updates = (dim.filter("policy_id = 'POL-0000005'").select(payload)
+               .withColumn("status", F.lit("SUSPENDED"))
+               .withColumn("status_category", F.lit("OTHER")))
+    out = scd2_merge(dim, updates, ["policy_id"],
+                     ["status", "annual_premium"], "2024-07-01")
+    versions = out.filter("policy_id = 'POL-0000005'").collect()
+    assert len(versions) == 2
+    cur = [v for v in versions if v.is_current][0]
+    assert cur.status == "SUSPENDED"
+    assert out.count() == dim.count() + 1
