@@ -1,0 +1,233 @@
+"""Deduplication operators over arbitrary (id, text) DataFrames.
+
+Scale design (100 TB):
+- exact: one hash-groupBy shuffle on a 128-bit content hash.
+- n-gram Jaccard: pairwise work is confined to blocks (caller-chosen key);
+  never a global cross join.
+- MinHash-LSH: signatures via wide min-aggregates (one shuffle, no row
+  multiplication), banded bucket join for candidates (shuffle on band key),
+  exact Jaccard verify restricted to candidates.
+- SimHash: token-bit voting → 64-bit signatures; near-pair search via
+  banded equality join + bit_count hamming filter.
+
+All hashing is md5-derived → deterministic across runs, partitionings, and
+cluster sizes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 31) - 1
+
+
+def norm_text(text: str | Column) -> Column:
+    """Whitespace-collapse + lowercase + trim (the dedup normalizer)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def shingles(docs: DataFrame, id_col: str, norm_col: str,
+             k: int = 3) -> DataFrame:
+    """id → distinct k-token shingles (distributed explode)."""
+    toks = docs.withColumn("__toks", F.split(norm_col, " "))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {k})))"
+    )
+    return toks.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def shingle_hash(shingle: str | Column = "shingle") -> Column:
+    """md5 hex → 60-bit integer, reduced mod 2^31−1 (universal-hash domain)."""
+    return (F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+            % MERSENNE)
+
+
+def make_permutations(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+            for _ in range(n_perm)]
+
+
+def exact_duplicates(docs: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Exact dedup groups: content hash → keeper id + member count."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"),
+                F.md5(norm_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("member_count"),
+             F.max("doc_id").alias("max_doc_id"))
+        .withColumn("has_duplicates", F.col("member_count") > 1)
+    )
+
+
+def jaccard_pairs(sh: DataFrame, blocks: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Pairwise Jaccard within blocks. ``sh``: (doc_id, shingle);
+    ``blocks``: (doc_id, block). Returns pairs ≥ threshold."""
+    sh = sh.join(blocks, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"),
+                 F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"),
+                      F.col("n_shingles").alias("n_shingles_1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"),
+                      F.col("n_shingles").alias("n_shingles_2"))
+    jac = (F.col("shared_shingles")
+           / (F.col("n_shingles_1") + F.col("n_shingles_2")
+              - F.col("shared_shingles")))
+    return (
+        pairs.join(s1, "doc_id_1").join(s2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", "shared_shingles",
+                "n_shingles_1", "n_shingles_2", jac.alias("jaccard"))
+        .filter(jac >= threshold)
+    )
+
+
+def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],
+                      band_rows: int) -> DataFrame:
+    """(doc_id, band_id, band_key) via wide min-aggregate signatures —
+    one shuffle, no per-permutation row multiplication."""
+    n_perm = len(perms)
+    n_bands = n_perm // band_rows
+    sig = (
+        sh.withColumn("h", shingle_hash())
+        .groupBy("doc_id")
+        .agg(*[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE)
+               .alias(f"s{i}") for i, (a, b) in enumerate(perms)])
+    )
+    band_cols = [
+        F.md5(F.concat_ws(",", *[
+            f"s{i}" for i in range(j * band_rows, (j + 1) * band_rows)]))
+        .alias(f"band_{j}")
+        for j in range(n_bands)
+    ]
+    wide = sig.select("doc_id", *band_cols)
+    stack_args = ", ".join(f"{j}, band_{j}" for j in range(n_bands))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_key)")
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
+                      n_perm: int = 32, band_rows: int = 4,
+                      threshold: float = 0.5, k: int = 3,
+                      seed: int = 42) -> DataFrame:
+    """Near-dup pairs: LSH candidates → exact-Jaccard verify on candidates."""
+    normed = (
+        docs.filter(F.col(text_col).isNotNull()
+                    & (F.length(F.trim(F.col(text_col))) > 0))
+        .select(F.col(id_col).alias("doc_id"),
+                norm_text(text_col).alias("norm"))
+    )
+    sh = shingles(normed, "doc_id", "norm", k=k)
+    bands = minhash_band_keys(sh, make_permutations(n_perm, seed), band_rows)
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_id_1"),
+                F.col("y.doc_id").alias("doc_id_2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = (
+        cand.join(sh.alias("s1"), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(sh.alias("s2"),
+              (F.col("doc_id_2") == F.col("s2.doc_id"))
+              & (F.col("s1.shingle") == F.col("s2.shingle")))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("shared"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("doc_id_1"),
+                      F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc_id_2"),
+                      F.col("n").alias("n2"))
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        cand.join(shared, ["doc_id_1", "doc_id_2"], "left")
+        .join(n1, "doc_id_1").join(n2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2",
+                F.coalesce("shared", F.lit(0)).alias("shared_shingles"),
+                F.coalesce(jac, F.lit(0.0)).alias("jaccard"))
+        .filter(F.coalesce(jac, F.lit(0.0)) >= threshold)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """60-bit SimHash per document via token-frequency bit voting, plus
+    15-bit band keys for hamming-neighbor blocking."""
+    normed = (
+        docs.filter(F.col(text_col).isNotNull()
+                    & (F.length(F.trim(F.col(text_col))) > 0))
+        .select(F.col(id_col).alias("doc_id"),
+                norm_text(text_col).alias("norm"))
+    )
+    toks = (
+        normed.select("doc_id", F.explode(F.split("norm", " ")).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    bits = (
+        toks.withColumn("h", h)
+        .select("doc_id", "w",
+                F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i"), "h")
+        .withColumn("bit", F.expr("shiftright(h, i) & 1"))
+        .groupBy("doc_id", "i")
+        .agg(F.sum(F.col("w") * (F.col("bit") * 2 - 1)).alias("vote"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(F.sum(F.expr(
+            "CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
+            "ELSE 0 END")).alias("simhash"))
+        .select("doc_id", "simhash",
+                (F.col("simhash") % 32768).alias("band_0"),
+                (F.shiftright("simhash", 15) % 32768).alias("band_1"),
+                (F.shiftright("simhash", 30) % 32768).alias("band_2"),
+                (F.shiftright("simhash", 45) % 32768).alias("band_3"))
+    )
+
+
+def simhash_near_pairs(signatures: DataFrame,
+                       max_hamming: int = 3) -> DataFrame:
+    """Hamming-near pairs via banded equality join: any shared 15-bit band
+    → candidate; bit_count(xor) filter verifies. With 4 bands, any pair
+    within hamming distance 3 shares ≥1 band (pigeonhole) — full recall."""
+    cands = None
+    for j in range(4):
+        a = signatures.alias("a")
+        b = signatures.alias("b")
+        band = (
+            a.join(b, (F.col(f"a.band_{j}") == F.col(f"b.band_{j}"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_1"),
+                    F.col("b.doc_id").alias("doc_id_2"),
+                    F.col("a.simhash").alias("sim_1"),
+                    F.col("b.simhash").alias("sim_2"))
+        )
+        cands = band if cands is None else cands.unionByName(band)
+    dist = F.bit_count(F.col("sim_1").bitwiseXOR(F.col("sim_2")))
+    return (
+        cands.distinct()
+        .select("doc_id_1", "doc_id_2", dist.alias("hamming_distance"))
+        .filter(dist <= max_hamming)
+    )

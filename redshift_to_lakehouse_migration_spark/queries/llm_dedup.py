@@ -1,208 +1,60 @@
-"""Deduplication operators for LLM training-data pipelines.
+"""Deduplication queries — thin bindings of ``redshift_to_lakehouse_migration_spark.llm.dedup``
+(the reusable operator library) to the driver's documents table.
 
-Four dedup families (BASELINE.json north star), all Spark-first:
-
-- exact: hash-groupBy on normalized-text md5 — one shuffle, arbitrarily
-  scalable.
-- n-gram Jaccard: blocked pairwise comparison — shingle explode → block-local
-  self-join → shared-shingle count → Jaccard. Blocking (prefix key) keeps the
-  join from going quadratic; at 100 TB the LSH variant below replaces the
-  block key with banded MinHash buckets, same downstream shape.
-- MinHash-LSH: shingle → md5-derived 60-bit hash → k universal-hash
-  permutations → per-doc min (signature) → banded bucket join → candidate
-  pairs → exact Jaccard verify on candidates only. No quadratic step;
-  everything is explode/groupBy/join on bounded keys.
-- SimHash: token-hash bit voting → 64-bit signature → banded hamming join.
-
-MinHash/SimHash use md5-derived integer hashes (deterministic everywhere);
-their queries carry no DuckDB oracle (hex→int is not portable SQL) and are
-driver-checked rows-only; planted-duplicate unit tests in
-tests/test_dedup.py cover their recall instead.
+Coverage (BASELINE.json north star): exact hash dedup, blocked n-gram
+Jaccard (full DuckDB oracle), MinHash-LSH candidates + exact verify, SimHash
+signatures + hamming-banded near-pairs. MinHash/SimHash carry no oracle
+(md5-hex→int is not portable SQL); tests/test_dedup.py covers their recall
+with planted near-duplicates instead.
 """
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm import dedup as D
 from ..tables import load
 
-_NORM = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
 
-# MinHash parameters: 32 permutations in 8 bands of 4 rows → catches
-# Jaccard ≳ 0.5 pairs with high probability.
-_MERSENNE = (1 << 31) - 1
-_N_PERM, _BAND_ROWS = 32, 4
-_rng = random.Random(42)
-_PERMS = [(_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
-          for _ in range(_N_PERM)]
-
-
-def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.filter(F.col("text").isNotNull()
-                 & (F.length(F.trim(F.col("text"))) > 0))
-        .select("doc_id", F.expr(_NORM).alias("norm"))
-    )
-
-
-def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """doc_id → distinct k-token shingles (explode; no driver loop)."""
-    toks = docs.withColumn("toks", F.split("norm", " "))
-    sh = F.expr(
-        f"transform(sequence(1, greatest(size(toks) - {k - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(toks, i, {k})))"
-    )
-    return (
-        toks.select("doc_id",
-                    F.explode(F.array_distinct(sh)).alias("shingle"))
-    )
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group by normalized-text hash, keep lowest doc_id as
-    keeper, count members — the hash-groupBy scale path."""
-    docs = _norm_docs(spark, sf_dir)
-    return (
-        docs.groupBy(F.md5("norm").alias("content_hash"))
-        .agg(F.min("doc_id").alias("keeper_doc_id"),
-             F.count("*").alias("member_count"),
-             F.max("doc_id").alias("max_doc_id"))
-        .withColumn("has_duplicates", F.col("member_count") > 1)
-    )
+    docs = _docs(spark, sf_dir).filter(
+        F.length(F.trim(F.col("text"))) > 0)
+    return D.exact_duplicates(docs, "doc_id", "text")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise 3-gram Jaccard ≥ 0.4: prefix-block join prevents the
-    quadratic blowup; per-pair shared-shingle counts via groupBy."""
-    docs = _norm_docs(spark, sf_dir).withColumn(
-        "block", F.substring("norm", 1, 16))
-    sh = _shingles(docs).join(docs.select("doc_id", "block"), "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_id_1"),
-                 F.col("b.doc_id").alias("doc_id_2"))
-        .agg(F.count("*").alias("shared_shingles"))
+    """Blocked pairwise 3-gram Jaccard ≥ 0.4 (16-char prefix blocks)."""
+    normed = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull()
+                & (F.length(F.trim(F.col("text"))) > 0))
+        .select("doc_id", D.norm_text("text").alias("norm"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"),
-                      F.col("n_shingles").alias("n_shingles_1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"),
-                      F.col("n_shingles").alias("n_shingles_2"))
-    jac = (F.col("shared_shingles")
-           / (F.col("n_shingles_1") + F.col("n_shingles_2")
-              - F.col("shared_shingles")))
-    return (
-        pairs.join(s1, "doc_id_1").join(s2, "doc_id_2")
-        .select("doc_id_1", "doc_id_2", "shared_shingles",
-                "n_shingles_1", "n_shingles_2", jac.alias("jaccard"))
-        .filter(jac >= 0.4)
-    )
-
-
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, perm_id → min universal-hash of shingle set (the signature)."""
-    sh = _shingles(_norm_docs(spark, sf_dir))
-    # md5 hex → 60-bit int, stable across engines and runs
-    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    hashed = sh.select("doc_id", (h % _MERSENNE).alias("h"))
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(_PERMS)],
-        "perm_id int, a long, b long")
-    return (
-        hashed.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm_id")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _MERSENNE)
-             .alias("minhash"))
-    )
+    sh = D.shingles(normed, "doc_id", "norm")
+    blocks = normed.select("doc_id",
+                           F.substring("norm", 1, 16).alias("block"))
+    return D.jaccard_pairs(sh, blocks, threshold=0.4)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: banded signature buckets → candidate pairs
-    → exact Jaccard verification on candidates only (rows-only check)."""
-    sig = _minhash_signatures(spark, sf_dir)
-    bands = (
-        sig.withColumn("band_id", F.col("perm_id") % F.lit(_N_PERM // _BAND_ROWS))
-        .groupBy("doc_id", "band_id")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(
-            F.collect_list(F.struct("perm_id", "minhash"))).cast("string")))
-            .alias("band_key"))
-    )
-    cand = (
-        bands.alias("x").join(
-            bands.alias("y"),
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_id_1"),
-                F.col("y.doc_id").alias("doc_id_2"))
-        .distinct()
-    )
-    # exact verify: true Jaccard on candidate pairs only
-    sh = _shingles(_norm_docs(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    shared = (
-        cand.join(sh.alias("s1"), F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(sh.alias("s2"),
-              (F.col("doc_id_2") == F.col("s2.doc_id"))
-              & (F.col("s1.shingle") == F.col("s2.shingle")))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count("*").alias("shared"))
-    )
-    n1 = sizes.select(F.col("doc_id").alias("doc_id_1"),
-                      F.col("n").alias("n1"))
-    n2 = sizes.select(F.col("doc_id").alias("doc_id_2"),
-                      F.col("n").alias("n2"))
-    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
-    return (
-        cand.join(shared, ["doc_id_1", "doc_id_2"], "left")
-        .join(n1, "doc_id_1").join(n2, "doc_id_2")
-        .select("doc_id_1", "doc_id_2",
-                F.coalesce("shared", F.lit(0)).alias("shared_shingles"),
-                F.coalesce(jac, F.lit(0.0)).alias("jaccard"))
-        .filter(F.coalesce(jac, F.lit(0.0)) >= 0.5)
-        .orderBy("doc_id_1", "doc_id_2")
-    )
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                               n_perm=32, band_rows=4, threshold=0.5)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash signatures per document (token-frequency bit voting);
-    rows-only check, recall covered by unit tests."""
-    docs = _norm_docs(spark, sf_dir)
-    toks = (
-        docs.select("doc_id", F.explode(F.split("norm", " ")).alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
-    )
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    bits = (
-        toks.withColumn("h", h)
-        .select("doc_id", "w",
-                F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i"),
-                "h")
-        .withColumn("bit", F.expr("shiftright(h, i) & 1"))
-        .groupBy("doc_id", "i")
-        .agg(F.sum(F.col("w") * (F.col("bit") * 2 - 1)).alias("vote"))
-    )
-    return (
-        bits.groupBy("doc_id")
-        .agg(F.sum(F.expr(
-            "CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
-            "ELSE 0 END")).alias("simhash"))
-        .select("doc_id", "simhash",
-                (F.col("simhash") % 32768).alias("band_0"),
-                (F.shiftright("simhash", 15) % 32768).alias("band_1"),
-                (F.shiftright("simhash", 30) % 32768).alias("band_2"),
-                (F.shiftright("simhash", 45) % 32768).alias("band_3"))
+    return D.simhash_signatures(_docs(spark, sf_dir), "doc_id", "text") \
         .orderBy("doc_id")
-    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return D.simhash_near_pairs(sig, max_hamming=6) \
+        .orderBy("doc_id_1", "doc_id_2")
 
 
 QUERIES = {
@@ -210,6 +62,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
 }
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

@@ -20,29 +20,19 @@ fold order so doubles match bit-for-bit.
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql
+from ..llm import similarity as sim
 from ..tables import load
 
 _DIM = 64
 _N_PLANES = 8
-_rng = random.Random(7)
-PROJECTIONS = [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)]
-               for _ in range(_N_PLANES)]
+PROJECTIONS = sim.make_projections(_N_PLANES, _DIM, seed=7)
 
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+_dot = sim.dot
+_norm = sim.norm
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -55,20 +45,12 @@ def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
 
-def _proj_lit(j: int) -> Column:
-    return F.array(*[F.lit(c) for c in PROJECTIONS[j]])
-
-
 def _proj_sql(j: int) -> str:
     return "[" + ", ".join(repr(c) for c in PROJECTIONS[j]) + "]"
 
 
 def _bucket_col(emb: Column) -> Column:
-    b = F.lit(0).cast("long")
-    for j in range(_N_PLANES):
-        b = b + F.when(_dot(emb, _proj_lit(j)) > 0,
-                       F.lit(1 << j).cast("long")).otherwise(0)
-    return b
+    return sim.lsh_bucket(emb, PROJECTIONS)
 
 
 def _bucket_sql(emb: str) -> str:
@@ -83,23 +65,12 @@ def _bucket_sql(emb: str) -> str:
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for probe vectors (vec_id % 50 = 0)."""
     e = load(spark, sf_dir, "embeddings")
-    q = (e.filter(F.col("vec_id") % 50 == 0)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
-    sim = (_dot(F.col("q_emb"), F.col("embedding"))
-           / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))))
-    from pyspark.sql import Window as W
-    w = W.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                F.round(sim, 9).alias("sim"),
-                F.col("label").alias("neighbor_label"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-    )
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    topk = sim.cosine_topk(e, probes, "vec_id", "embedding", k=5)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("label").alias("neighbor_label"))
+    return topk.join(F.broadcast(labels), "neighbor_id").select(
+        "query_id", "neighbor_id", "sim", "neighbor_label", "rank")
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,26 +86,8 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 within LSH buckets: bucket-equality join (never quadratic),
     exact cosine re-rank inside each bucket."""
     e = load(spark, sf_dir, "embeddings")
-    withb = e.select(
-        "vec_id", "embedding",
-        _bucket_col(F.col("embedding")).alias("bucket_id"))
-    a = withb.alias("a")
-    b = withb.alias("b")
-    sim = (_dot(F.col("a.embedding"), F.col("b.embedding"))
-           / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))))
-    from pyspark.sql import Window as W
-    w = W.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        a.join(b, (F.col("a.bucket_id") == F.col("b.bucket_id"))
-               & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("query_id"),
-                F.col("b.vec_id").alias("neighbor_id"),
-                F.col("a.bucket_id").alias("bucket_id"),
-                F.round(sim, 9).alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-    )
+    assigned = sim.lsh_assign(e, "vec_id", "embedding", PROJECTIONS)
+    return sim.topk_within_buckets(assigned, k=3)
 
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
