@@ -1,0 +1,64 @@
+"""PII masking (SURVEY §2.10: the reference's only engine-evaluable UDFs).
+
+The reference defines SQL scalar functions `mask_email` / `mask_name` gated
+by `IS_MEMBER` role checks and a masked view
+(`governance/access_controls.sql:57-105`). OSS Spark has no `IS_MEMBER`;
+we model the role check as an explicit ``unmasked`` flag (session/config
+driven) and provide both column-expression builders and SQL-function
+registration (`spark.sql("CREATE TEMPORARY FUNCTION ...")` — Spark ≥3.5 SQL
+UDFs), so both the DataFrame and SQL surfaces exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def mask_email(col: str | Column) -> Column:
+    """LEFT(email,2) ‖ '***@' ‖ domain (`access_controls.sql:57-63`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNull() | ~c.contains("@"), F.lit("***")
+    ).otherwise(
+        F.concat(F.substring(c, 1, 2), F.lit("***@"),
+                 F.substring_index(c, "@", -1))
+    )
+
+
+def mask_name(col: str | Column) -> Column:
+    """First char + '*' × (len−1) (`access_controls.sql:65-70`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull() | (F.length(c) == 0), F.lit(None)).otherwise(
+        F.concat(F.substring(c, 1, 1),
+                 F.repeat(F.lit("*"), F.greatest(F.length(c) - 1, F.lit(0))))
+    )
+
+
+def masked(col: str | Column, mask_fn, unmasked: bool) -> Column:
+    """Role-gated masking: pass-through for privileged sessions
+    (`IS_MEMBER('pii_readers')` analog)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c if unmasked else mask_fn(c)
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """SQL-surface twins (CREATE FUNCTION ... RETURN, Spark ≥3.5)."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION mask_email(email STRING)
+        RETURNS STRING
+        RETURN CASE
+            WHEN email IS NULL OR NOT contains(email, '@') THEN '***'
+            ELSE concat(substring(email, 1, 2), '***@',
+                        substring_index(email, '@', -1))
+        END
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION mask_name(name STRING)
+        RETURNS STRING
+        RETURN CASE
+            WHEN name IS NULL OR length(name) = 0 THEN NULL
+            ELSE concat(substring(name, 1, 1),
+                        repeat('*', greatest(length(name) - 1, 0)))
+        END
+    """)

@@ -334,3 +334,69 @@ ORACLES = {
         GROUP BY o.o_custkey
     """,
 }
+
+
+def masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-masked projection (SURVEY §2.10: `governance/access_controls.sql:
+    57-105`): mask_name/mask_email expressions over the customer dim, with a
+    synthesized email column (driver data carries none)."""
+    from ..masking import mask_email, mask_name
+    c = load(spark, sf_dir, "customer")
+    email = F.concat(F.lower(F.regexp_replace(F.trim("c_name"), r"\s+", ".")),
+                     F.lit("@example.com"))
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        mask_name(F.trim(F.col("c_name"))).alias("masked_name"),
+        mask_email(email).alias("masked_email"),
+        F.col("c_mktsegment").alias("market_segment"),
+    )
+
+
+def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A2 as a first-class operator): revenue by segment × status
+    with explicit pivot values (deterministic output schema)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("market_segment"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum("o_totalprice"))
+        .select(
+            "market_segment",
+            F.coalesce("O", F.lit(0.0)).alias("open_total"),
+            F.coalesce("F", F.lit(0.0)).alias("fulfilled_total"),
+            F.coalesce("P", F.lit(0.0)).alias("pending_total"),
+        )
+    )
+
+
+QUERIES["masked_customers"] = masked_customers
+QUERIES["segment_status_pivot"] = segment_status_pivot
+
+ORACLES["masked_customers"] = """
+    SELECT
+        c_custkey AS customer_id,
+        CASE WHEN trim(c_name) IS NULL OR length(trim(c_name)) = 0 THEN NULL
+             ELSE concat(substr(trim(c_name), 1, 1),
+                         repeat('*', greatest(length(trim(c_name)) - 1, 0)))
+        END AS masked_name,
+        concat(substr(concat(lower(regexp_replace(trim(c_name), '\\s+', '.',
+                                                  'g')), '@example.com'),
+                      1, 2), '***@', 'example.com') AS masked_email,
+        c_mktsegment AS market_segment
+    FROM customer
+"""
+
+ORACLES["segment_status_pivot"] = f"""
+    SELECT
+        c.c_mktsegment AS market_segment,
+        COALESCE({dsum_sql("CASE WHEN o.o_orderstatus='O' THEN o.o_totalprice END")}, 0.0)
+            AS open_total,
+        COALESCE({dsum_sql("CASE WHEN o.o_orderstatus='F' THEN o.o_totalprice END")}, 0.0)
+            AS fulfilled_total,
+        COALESCE({dsum_sql("CASE WHEN o.o_orderstatus='P' THEN o.o_totalprice END")}, 0.0)
+            AS pending_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""

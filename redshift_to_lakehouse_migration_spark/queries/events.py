@@ -182,3 +182,38 @@ ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length / 30 min slide): every event counts in
+    exactly 2 windows; epoch-aligned identically in Spark and the oracle."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                  F.col("event_type"))
+        .agg(F.count("*").alias("event_count"),
+             dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "event_count", "total_value")
+    )
+
+
+QUERIES["events_sliding_windows"] = events_sliding_windows
+
+ORACLES["events_sliding_windows"] = f"""
+    SELECT
+        ws AS window_start,
+        ws + INTERVAL 1 HOUR AS window_end,
+        event_type,
+        COUNT(*) AS event_count,
+        {dsum_sql("value")} AS total_value
+    FROM (
+        SELECT *, unnest([
+            time_bucket(INTERVAL '30 minutes', ts),
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
+        ]) AS ws
+        FROM events
+    )
+    GROUP BY 1, 2, 3
+"""
