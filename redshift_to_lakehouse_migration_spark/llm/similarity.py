@@ -81,6 +81,81 @@ def lsh_assign(corpus: DataFrame, id_col: str, vec_col: str,
         lsh_bucket(F.col(vec_col), projections).alias("bucket_id"))
 
 
+def cosine_near_pairs(assigned: DataFrame, threshold: float,
+                      round_digits: int | None = 9) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, confined to LSH
+    buckets (bucket-equality join — never a global cross join). Output:
+    (vec_id_1, vec_id_2, sim) with vec_id_1 < vec_id_2, one row per pair.
+
+    Scale note: at 100 TB the bucket join shuffles on bucket_id only; skewed
+    buckets can be split by raising the plane count (more, smaller buckets).
+    """
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.join(b, (F.col("a.bucket_id") == F.col("b.bucket_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_id_1"),
+                F.col("b.vec_id").alias("vec_id_2"),
+                sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
+               vec_col: str, centroid_id_col: str, centroid_vec_col: str,
+               nprobe: int = 1, round_digits: int | None = 9) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its ``nprobe``
+    nearest centroids by cosine (deterministic tie-break on centroid id).
+    Centroids broadcast; the corpus streams — one pass, the only shuffle is
+    the per-vector argmax window. nprobe=1 builds the inverted lists;
+    nprobe>1 is the multi-probe query-side assignment.
+    Output: (vec_id, embedding, centroid_id)."""
+    c = centroids.select(F.col(centroid_id_col).alias("centroid_id"),
+                         F.col(centroid_vec_col).alias("__c_emb"))
+    sim = cosine(F.col(vec_col), F.col("__c_emb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("__c_sim").desc(), F.col("centroid_id"))
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("__c_sim", sim)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def ivf_topk(corpus_assigned: DataFrame, probes_assigned: DataFrame, k: int,
+             round_digits: int | None = 9) -> DataFrame:
+    """IVF search: each probe scans only the inverted lists of its probed
+    centroids (equality join on centroid_id), exact cosine re-rank, top-k.
+    ``probes_assigned``: (query_id, q_embedding, centroid_id) — one row per
+    (probe, probed-centroid); multi-probe = several rows per probe."""
+    sim = cosine(F.col("q.q_embedding"), F.col("c.embedding"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        probes_assigned.alias("q")
+        .join(corpus_assigned.alias("c"), "centroid_id")
+        .filter(F.col("c.vec_id") != F.col("q.query_id"))
+        .select(F.col("q.query_id").alias("query_id"),
+                F.col("c.vec_id").alias("neighbor_id"),
+                sim.alias("sim"))
+        .groupBy("query_id", "neighbor_id")  # probed lists may overlap
+        .agg(F.max("sim").alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def topk_within_buckets(assigned: DataFrame, k: int,
                         round_digits: int | None = 9) -> DataFrame:
     """ANN: exact cosine re-rank confined to LSH buckets (equality join)."""

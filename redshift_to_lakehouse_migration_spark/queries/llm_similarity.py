@@ -90,6 +90,34 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_within_buckets(assigned, k=3)
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: deterministic coarse centroids (vec_id % 25 = 0),
+    nearest-centroid inverted lists, multi-probe (nprobe=2) search with
+    exact cosine re-rank confined to the probed lists."""
+    e = load(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 25 == 0)
+    lists = sim.ivf_assign(e, centroids, "vec_id", "embedding",
+                           "vec_id", "embedding", nprobe=1)
+    probes = (
+        sim.ivf_assign(e.filter(F.col("vec_id") % 50 == 0), centroids,
+                       "vec_id", "embedding", "vec_id", "embedding",
+                       nprobe=2)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"), "centroid_id")
+    )
+    return sim.ivf_topk(lists, probes, k=5)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold) confined to LSH
+    buckets — the scale path for semantic dedup: bucket-equality join,
+    never a global cross join. Threshold 0.35 is tuned to the synthetic
+    corpus (max pairwise cosine ≈ 0.51); real embedding spaces use ~0.9."""
+    e = load(spark, sf_dir, "embeddings")
+    assigned = sim.lsh_assign(e, "vec_id", "embedding", PROJECTIONS)
+    return sim.cosine_near_pairs(assigned, threshold=0.35)
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics with decimal-exact averages."""
     e = load(spark, sf_dir, "embeddings")
@@ -109,6 +137,8 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
     "knn_lsh_bucketed": knn_lsh_bucketed,
+    "knn_ivf": knn_ivf,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_stats": embedding_stats,
 }
 
@@ -154,6 +184,52 @@ ORACLES = {
                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
             FROM pairs
         ) WHERE rank <= 3
+    """,
+    "knn_ivf": f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding AS c_emb
+            FROM embeddings WHERE vec_id % 25 = 0
+        ), corpus_sim AS (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   round({_dot_sql("e.embedding", "c.c_emb")} /
+                         ({_norm_sql("e.embedding")} *
+                          {_norm_sql("c.c_emb")}), 9) AS c_sim
+            FROM embeddings e CROSS JOIN cent c
+        ), lists AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY c_sim DESC, centroid_id) AS r
+                FROM corpus_sim) WHERE r <= 1
+        ), probes AS (
+            SELECT vec_id AS query_id, embedding AS q_embedding, centroid_id
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY c_sim DESC, centroid_id) AS r
+                FROM corpus_sim WHERE vec_id % 50 = 0) WHERE r <= 2
+        ), cand AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   MAX(round({_dot_sql("q.q_embedding", "c.embedding")} /
+                             ({_norm_sql("q.q_embedding")} *
+                              {_norm_sql("c.embedding")}), 9)) AS sim
+            FROM probes q JOIN lists c USING (centroid_id)
+            WHERE c.vec_id <> q.query_id
+            GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT query_id, neighbor_id, sim, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM cand) WHERE rank <= 5
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH withb AS (
+            SELECT vec_id, embedding,
+                   {_bucket_sql("embedding")} AS bucket_id
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, {_SIM_AB} AS sim
+        FROM withb a JOIN withb b
+          ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+        WHERE {_SIM_AB} >= 0.35
     """,
     "embedding_stats": f"""
         SELECT label, COUNT(*) AS n_vectors,

@@ -96,6 +96,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish subword proxy: letter runs, single digits, single punctuation —
+# the shape (not the merges) of a byte-pair tokenizer, portable to RE2.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting under two tokenizers: whitespace split
+    vs a BPE-ish regex (letter runs / digits / punctuation), plus the
+    fertility ratio used to budget LLM training tokens. Pure regexp
+    expressions — codegen'd, shuffle-free, linear at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_ws = F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    n_bpe = F.regexp_count(text, F.lit(_BPE_RE)).cast("long")
+    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    return (
+        d.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+        .select(
+            F.col("doc_id"),
+            n_ws.alias("n_ws_tokens"),
+            n_bpe.alias("n_bpe_tokens"),
+            (n_bpe / n_ws).alias("bpe_per_word"),
+            (n_nonspace / n_bpe).alias("chars_per_bpe_token"),
+        )
+    )
+
+
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency: explode → groupBy → top 100 with deterministic
     tie-break. At 100 TB this is the canonical two-stage (partial + final)
@@ -118,6 +145,7 @@ QUERIES = {
     "text_stats": text_stats,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "token_count_bpe": token_count_bpe,
     "token_histogram": token_histogram,
 }
 
@@ -183,6 +211,22 @@ ORACLES = {
             length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                 AS norm_length
         FROM documents
+    """,
+    "token_count_bpe": f"""
+        SELECT
+            doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                AS n_ws_tokens,
+            CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                AS n_bpe_tokens,
+            len(regexp_extract_all(text, '{_BPE_RE}'))
+                / len(regexp_split_to_array(trim(text), '\\s+'))
+                AS bpe_per_word,
+            length(regexp_replace(text, '\\s', '', 'g'))
+                / len(regexp_extract_all(text, '{_BPE_RE}'))
+                AS chars_per_bpe_token
+        FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
     """,
     "token_histogram": """
         SELECT token, COUNT(*) AS freq

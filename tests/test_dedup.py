@@ -70,3 +70,50 @@ def test_jaccard_pairs_block_confinement(spark):
     found = {(r.doc_id_1, r.doc_id_2) for r in pairs}
     assert (1, 2) in found and (1, 3) in found
     assert not any(4 in p for p in found)   # different prefix block
+
+
+def _vec_corpus(spark):
+    """Tiny embedding corpus: 1≈2 (planted near-dup), 3 orthogonal-ish,
+    4 = exact copy of 1."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.2]),
+        (2, [0.98, 0.05, 0.0, 0.2]),     # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # distinct
+        (4, [1.0, 0.0, 0.0, 0.2]),       # exact dup of 1
+        (5, [0.0, 0.0, 1.0, 0.1]),       # distinct
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_near_pairs_finds_planted_dups(spark):
+    from redshift_to_lakehouse_migration_spark.llm import similarity as S
+    projections = S.make_projections(4, 4, seed=7)
+    assigned = S.lsh_assign(_vec_corpus(spark), "vec_id", "embedding",
+                            projections)
+    pairs = S.cosine_near_pairs(assigned, threshold=0.95).collect()
+    found = {(r.vec_id_1, r.vec_id_2): r.sim for r in pairs}
+    assert (1, 4) in found and found[(1, 4)] == 1.0   # exact dup
+    assert (1, 2) in found                            # planted near-dup
+    assert not any(3 in p or 5 in p for p in found)   # distinct stay apart
+
+
+def test_ivf_assign_and_topk(spark):
+    from redshift_to_lakehouse_migration_spark.llm import similarity as S
+    corpus = _vec_corpus(spark)
+    centroids = corpus.filter("vec_id IN (1, 3, 5)")
+    lists = S.ivf_assign(corpus, centroids, "vec_id", "embedding",
+                         "vec_id", "embedding", nprobe=1)
+    by_centroid = {r.vec_id: r.centroid_id for r in lists.collect()}
+    # every vector lands on its obviously-nearest centroid
+    assert by_centroid[1] == 1 and by_centroid[2] == 1
+    assert by_centroid[4] == 1 and by_centroid[3] == 3
+    assert by_centroid[5] == 5
+    probes = (
+        S.ivf_assign(corpus.filter("vec_id = 2"), centroids,
+                     "vec_id", "embedding", "vec_id", "embedding", nprobe=2)
+        .selectExpr("vec_id AS query_id", "embedding AS q_embedding",
+                    "centroid_id")
+    )
+    top = S.ivf_topk(lists, probes, k=2).collect()
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)][0] in (1, 4)
+    assert all(r.query_id == 2 for r in top)
