@@ -126,8 +126,15 @@ def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                       n_perm: int = 32, band_rows: int = 4,
                       threshold: float = 0.5, k: int = 3,
-                      seed: int = 42) -> DataFrame:
-    """Near-dup pairs: LSH candidates → exact-Jaccard verify on candidates."""
+                      seed: int = 42, materialize: bool = False) -> DataFrame:
+    """Near-dup pairs: LSH candidates → exact-Jaccard verify on candidates.
+
+    ``materialize`` persists the shingle set and band keys, which the plan
+    reuses 3–4× (band self-join, sizes, shared-shingle verify). Measured at
+    sf0.1 recompute is faster (shingling is cheap, codegen'd), so the
+    default is off; flip it on a cluster when the input scan dominates — or
+    better, write signatures to a table once and join against that.
+    """
     normed = (
         docs.filter(F.col(text_col).isNotNull()
                     & (F.length(F.trim(F.col(text_col))) > 0))
@@ -135,7 +142,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                 norm_text(text_col).alias("norm"))
     )
     sh = shingles(normed, "doc_id", "norm", k=k)
+    if materialize:
+        sh = sh.persist()
     bands = minhash_band_keys(sh, make_permutations(n_perm, seed), band_rows)
+    if materialize:
+        bands = bands.persist()
     cand = (
         bands.alias("x").join(
             bands.alias("y"),
@@ -211,23 +222,25 @@ def simhash_near_pairs(signatures: DataFrame,
                        max_hamming: int = 3) -> DataFrame:
     """Hamming-near pairs via banded equality join: any shared 15-bit band
     → candidate; bit_count(xor) filter verifies. With 4 bands, any pair
-    within hamming distance 3 shares ≥1 band (pigeonhole) — full recall."""
-    cands = None
-    for j in range(4):
-        a = signatures.alias("a")
-        b = signatures.alias("b")
-        band = (
-            a.join(b, (F.col(f"a.band_{j}") == F.col(f"b.band_{j}"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_id_1"),
-                    F.col("b.doc_id").alias("doc_id_2"),
-                    F.col("a.simhash").alias("sim_1"),
-                    F.col("b.simhash").alias("sim_2"))
-        )
-        cands = band if cands is None else cands.unionByName(band)
-    dist = F.bit_count(F.col("sim_1").bitwiseXOR(F.col("sim_2")))
+    within hamming distance 3 shares ≥1 band (pigeonhole) — full recall.
+
+    Bands are unpivoted with ``stack`` so candidate generation is ONE
+    equality self-join on (band_id, band_key) instead of four separate
+    joins unioned — one shuffle, and the signature input is scanned twice
+    rather than eight times."""
+    bands = signatures.selectExpr(
+        "doc_id", "simhash",
+        "stack(4, 0, band_0, 1, band_1, 2, band_2, 3, band_3) "
+        "AS (band_id, band_key)")
+    a, b = bands.alias("a"), bands.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        cands.distinct()
-        .select("doc_id_1", "doc_id_2", dist.alias("hamming_distance"))
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .filter(dist <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+                dist.alias("hamming_distance"))
+        .distinct()
     )

@@ -118,13 +118,30 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     sim = cosine(F.col(vec_col), F.col("__c_emb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("__c_sim").desc(), F.col("centroid_id"))
-    return (
+    scored = (
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("embedding"))
         .crossJoin(F.broadcast(c))
         .withColumn("__c_sim", sim)
+    )
+    if nprobe == 1:
+        # argmax as a hash aggregate: lexicographic max of
+        # (sim, -centroid_id) ≡ best sim with smallest-id tie-break.
+        # Partial-aggregates map-side (the shuffle carries one row per
+        # vector, not one per vector×centroid — the scale path).
+        best = F.max(F.struct(
+            F.col("__c_sim").alias("s"),
+            (-F.col("centroid_id")).alias("neg_cid"),
+            F.col("embedding").alias("emb"))).alias("best")
+        return (
+            scored.groupBy("vec_id").agg(best)
+            .select("vec_id", F.col("best.emb").alias("embedding"),
+                    (-F.col("best.neg_cid")).alias("centroid_id"))
+        )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("__c_sim").desc(), F.col("centroid_id"))
+    return (
+        scored
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= nprobe)
         .select("vec_id", "embedding", "centroid_id")
