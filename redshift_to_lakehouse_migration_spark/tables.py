@@ -40,6 +40,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              num_partitions: int = 32,
+              lower_bound: int | None = None,
+              upper_bound: int | None = None,
+              **properties: str) -> DataFrame:
+    """JDBC scan of a legacy warehouse table (the reconciliation source in
+    the reference, `migration_validation/reconciliation.py:189`).
+
+    Without ``partition_column`` the whole table arrives through ONE
+    connection — fine for a dim, fatal for a fact. For anything large, pass
+    a numeric/date column plus bounds so Spark opens ``num_partitions``
+    parallel range-partitioned cursors.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", url).option("dbtable", table))
+    if partition_column is not None:
+        reader = (reader
+                  .option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound)))
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLES) -> None:
     """Register the driver tables as temp views for the SQL entry points."""
