@@ -41,12 +41,37 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    # End-to-end medallion pipeline (BASELINE.md bench plan): generate the
+    # reference's default scale (10k policies, seed 42 —
+    # sample_data/generate_sample_data.py:274) and run bronze→silver→gold
+    # through the DAG runner, publishing bronze + partitioned fact_claims.
+    import shutil
+    import tempfile
+
+    from redshift_to_lakehouse_migration_spark import datagen
+    from redshift_to_lakehouse_migration_spark.medallion.flow import (
+        build_medallion_pipeline,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="medallion_bench_")
+    try:
+        datagen.generate(f"{tmp}/raw", n_policies=10_000, seed=42)
+        t0 = time.perf_counter()
+        pipe = build_medallion_pipeline(spark, f"{tmp}/raw",
+                                        f"{tmp}/warehouse", "2024-06-01")
+        outputs, _ = pipe.run()
+        for df in outputs.values():     # execute every unmaterialized node
+            df.write.format("noop").mode("overwrite").save()
+        pipeline_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()) + pipeline_sec, 3)
     print(json.dumps({
-        "metric": "engine_query_suite_wall_sec",
+        "metric": "engine_query_suite_plus_pipeline_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {**timings, "medallion_pipeline_10k": pipeline_sec},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -1,0 +1,82 @@
+"""The reference's full medallion DAG as one reusable in-session pipeline.
+
+Mirrors the Databricks workflow topology (`databricks.yml:131-224`): 4
+bronze ingests → 4 silver cleans → premium summary → 3 dims + 2 facts,
+with `fact_claims` published partitioned by `property_state`
+(`lakehouse_pipelines/gold/fact_claims.py:99-104`). Used by both the
+end-to-end test (`tests/test_medallion.py`) and the benchmark
+(`bench.py`), so the timed thing IS the tested thing.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from .. import schemas as S
+from ..pipeline import Pipeline
+from . import bronze, gold, silver
+
+
+def build_medallion_pipeline(spark: SparkSession, raw_dir: str | Path,
+                             warehouse: str | Path,
+                             as_of: str) -> Pipeline:
+    """Wire the bronze→silver→gold DAG over raw CSVs in ``raw_dir``.
+
+    Bronze and fact_claims materialize to ``warehouse`` (raw log + published
+    fact — the layers the reference persists); silver/gold dims stream
+    through Catalyst unmaterialized.
+    """
+    raw_dir, warehouse = Path(raw_dir), Path(warehouse)
+
+    def bronze_node(table: str, schema):
+        def fn(s):
+            path = str(warehouse / f"bronze_{table}")
+            bronze.ingest_batch(s, str(raw_dir / f"raw_{table}.csv"),
+                                schema, path, batch_id=1)
+            return s.read.parquet(path)
+        return fn
+
+    p = Pipeline(spark)
+    p.add("bronze_policies", bronze_node("policies", S.RAW_POLICIES))
+    p.add("bronze_claims", bronze_node("claims", S.RAW_CLAIMS))
+    p.add("bronze_premiums", bronze_node("premiums", S.RAW_PREMIUMS))
+    p.add("bronze_properties", bronze_node("properties", S.RAW_PROPERTIES))
+    p.add("silver_policies",
+          lambda s, bronze_policies: silver.transform_policies(
+              bronze_policies), deps=["bronze_policies"])
+    p.add("silver_claims",
+          lambda s, bronze_claims: silver.transform_claims(bronze_claims),
+          deps=["bronze_claims"])
+    p.add("silver_premiums",
+          lambda s, bronze_premiums: silver.transform_premiums(
+              bronze_premiums), deps=["bronze_premiums"])
+    p.add("silver_properties",
+          lambda s, bronze_properties: silver.transform_properties(
+              bronze_properties), deps=["bronze_properties"])
+    p.add("premium_summary",
+          lambda s, silver_premiums: gold.build_premium_summary(
+              silver_premiums), deps=["silver_premiums"])
+    p.add("dim_policy",
+          lambda s, silver_policies, premium_summary: gold.build_dim_policy(
+              silver_policies, premium_summary, as_of),
+          deps=["silver_policies", "premium_summary"])
+    p.add("dim_property",
+          lambda s, silver_properties: gold.build_dim_property(
+              silver_properties, as_of), deps=["silver_properties"])
+    p.add("dim_coverage",
+          lambda s, silver_policies: gold.build_dim_coverage(silver_policies),
+          deps=["silver_policies"])
+    p.add("fact_claims",
+          lambda s, silver_claims, silver_policies, silver_properties:
+          gold.build_fact_claims(silver_claims, silver_policies,
+                                 silver_properties),
+          deps=["silver_claims", "silver_policies", "silver_properties"],
+          materialize=str(warehouse / "fact_claims"),
+          partition_by=["property_state"])
+    p.add("fact_premiums",
+          lambda s, silver_premiums, silver_policies:
+          gold.build_fact_premiums(silver_premiums, silver_policies),
+          deps=["silver_premiums", "silver_policies"])
+    return p

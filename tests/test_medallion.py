@@ -8,9 +8,10 @@ from __future__ import annotations
 import pytest
 
 from redshift_to_lakehouse_migration_spark import datagen
-from redshift_to_lakehouse_migration_spark import schemas as S
-from redshift_to_lakehouse_migration_spark.medallion import bronze, gold, silver
-from redshift_to_lakehouse_migration_spark.pipeline import Pipeline
+from redshift_to_lakehouse_migration_spark.medallion import silver
+from redshift_to_lakehouse_migration_spark.medallion.flow import (
+    build_medallion_pipeline,
+)
 from redshift_to_lakehouse_migration_spark.scd2 import scd2_merge
 
 AS_OF = "2024-06-01"
@@ -27,56 +28,7 @@ def raw_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def pipeline_outputs(spark, raw_dir, tmp_path_factory):
     warehouse = tmp_path_factory.mktemp("warehouse")
-
-    def bronze_node(table, schema):
-        def fn(s):
-            path = str(warehouse / f"bronze_{table}")
-            bronze.ingest_batch(s, str(raw_dir / f"raw_{table}.csv"),
-                                schema, path, batch_id=1)
-            return s.read.parquet(path)
-        return fn
-
-    p = Pipeline(spark)
-    p.add("bronze_policies", bronze_node("policies", S.RAW_POLICIES))
-    p.add("bronze_claims", bronze_node("claims", S.RAW_CLAIMS))
-    p.add("bronze_premiums", bronze_node("premiums", S.RAW_PREMIUMS))
-    p.add("bronze_properties", bronze_node("properties", S.RAW_PROPERTIES))
-    p.add("silver_policies",
-          lambda s, bronze_policies: silver.transform_policies(
-              bronze_policies), deps=["bronze_policies"])
-    p.add("silver_claims",
-          lambda s, bronze_claims: silver.transform_claims(bronze_claims),
-          deps=["bronze_claims"])
-    p.add("silver_premiums",
-          lambda s, bronze_premiums: silver.transform_premiums(
-              bronze_premiums), deps=["bronze_premiums"])
-    p.add("silver_properties",
-          lambda s, bronze_properties: silver.transform_properties(
-              bronze_properties), deps=["bronze_properties"])
-    p.add("premium_summary",
-          lambda s, silver_premiums: gold.build_premium_summary(
-              silver_premiums), deps=["silver_premiums"])
-    p.add("dim_policy",
-          lambda s, silver_policies, premium_summary: gold.build_dim_policy(
-              silver_policies, premium_summary, AS_OF),
-          deps=["silver_policies", "premium_summary"])
-    p.add("dim_property",
-          lambda s, silver_properties: gold.build_dim_property(
-              silver_properties, AS_OF), deps=["silver_properties"])
-    p.add("dim_coverage",
-          lambda s, silver_policies: gold.build_dim_coverage(silver_policies),
-          deps=["silver_policies"])
-    p.add("fact_claims",
-          lambda s, silver_claims, silver_policies, silver_properties:
-          gold.build_fact_claims(silver_claims, silver_policies,
-                                 silver_properties),
-          deps=["silver_claims", "silver_policies", "silver_properties"],
-          materialize=str(warehouse / "fact_claims"),
-          partition_by=["property_state"])
-    p.add("fact_premiums",
-          lambda s, silver_premiums, silver_policies:
-          gold.build_fact_premiums(silver_premiums, silver_policies),
-          deps=["silver_premiums", "silver_policies"])
+    p = build_medallion_pipeline(spark, raw_dir, warehouse, AS_OF)
     outputs, runs = p.run(count_rows=True)
     return outputs, runs, warehouse
 
