@@ -217,3 +217,43 @@ ORACLES["events_sliding_windows"] = f"""
     )
     GROUP BY 1, 2, 3
 """
+
+
+def events_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage (salted) aggregate over the low-cardinality
+    ``event_type`` key — the hot-key pattern at 100 TB. The oracle is the
+    plain GROUP BY, proving the salted plan is semantics-identical
+    (decimal sums keep it order-independent)."""
+    from ..skew import salted_groupby
+    e = load(spark, sf_dir, "events")
+    raw = salted_groupby(
+        e, ["event_type"], 32,
+        event_count=("*", "count"),
+        total_value=(F.col("value").cast("decimal(24,2)"), "sum"),
+        min_value=("value", "min"),
+        max_value=("value", "max"),
+    )
+    return raw.select(
+        "event_type",
+        "event_count",
+        F.col("total_value").cast("double").alias("total_value"),
+        (F.col("total_value").cast("double") / F.col("event_count"))
+        .alias("avg_value"),
+        "min_value", "max_value",
+    ).orderBy("event_type")
+
+
+QUERIES["events_salted_type_totals"] = events_salted_type_totals
+
+ORACLES["events_salted_type_totals"] = f"""
+    SELECT
+        event_type,
+        COUNT(*) AS event_count,
+        {dsum_sql("value")} AS total_value,
+        {dsum_sql("value")} / COUNT(*) AS avg_value,
+        MIN(value) AS min_value,
+        MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -1,0 +1,107 @@
+"""Skew mitigation: salted two-stage aggregation and salted joins.
+
+At 100 TB a handful of hot keys (one event type, one customer) can pin a
+single reducer while the rest of the cluster idles. Two standard fixes,
+both expressed declaratively so Catalyst still sees one plan:
+
+- **Salted aggregation** (`salted_groupby`): split each hot group across
+  ``n_salts`` sub-groups in a first shuffle, then combine the decomposable
+  partials in a second, tiny shuffle. Only decomposable aggregates qualify
+  (sum/count/min/max, avg = sum÷count); the two-stage plan is
+  semantics-identical to the direct groupBy — the oracle-checked
+  ``events_salted_type_totals`` query proves it.
+- **Salted join** (`salted_join`): replicate the small side once per salt
+  so the big side's hot key fans out over ``n_salts`` reducers. Prefer
+  ``F.broadcast`` when the small side fits in memory (no shuffle at all);
+  salting is for the in-between case. AQE's skew-join split
+  (`spark.sql.adaptive.skewJoin`, on in `session.py`) handles the same
+  problem adaptively at runtime — these helpers are the explicit form for
+  when you know the skew ahead of time.
+
+The salt is `pmod(xxhash64(salt_from...), n_salts)` — deterministic, so
+retried tasks and resumed jobs salt identically (F.rand would break
+exactly-once sinks on retry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# final-stage recombiner per decomposable aggregate
+_DECOMPOSABLE = {"sum", "count", "min", "max"}
+
+
+def add_salt(df: DataFrame, n_salts: int,
+             salt_from: list[str] | None = None,
+             col_name: str = "__salt") -> DataFrame:
+    """Deterministic salt column in [0, n_salts): hash of ``salt_from``
+    columns (default: all columns)."""
+    src = [F.col(c) for c in (salt_from or df.columns)]
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*src), F.lit(n_salts)))
+
+
+def salted_groupby(df: DataFrame, keys: list[str], n_salts: int,
+                   **aggs: tuple[str | Column, str]) -> DataFrame:
+    """Two-stage skew-safe groupBy.
+
+    ``aggs`` maps output column name → (source column, fn) with fn one of
+    ``sum|count|min|max|avg``. Example::
+
+        salted_groupby(events, ["event_type"], 32,
+                       event_count=("*", "count"),
+                       total_value=("value", "sum"))
+
+    Stage 1 groups on (keys, salt) — hot keys split n_salts ways; stage 2
+    groups on keys alone over at most ``n_salts × |groups|`` rows.
+    """
+    for name, (_, fn) in aggs.items():
+        if fn not in _DECOMPOSABLE | {"avg"}:
+            raise ValueError(
+                f"{name}: {fn!r} is not decomposable; salting would change "
+                f"semantics (use the direct groupBy for holistic aggs)")
+
+    # avg decomposes into sum + count combined in the final stage
+    partial_cols: dict[str, Column] = {}
+    for name, (src, fn) in aggs.items():
+        c = F.col(src) if isinstance(src, str) and src != "*" else src
+        if fn == "count":
+            partial_cols[name] = (F.count("*") if src == "*"
+                                  else F.count(c))
+        elif fn == "avg":
+            partial_cols[f"{name}__s"] = F.sum(c)
+            partial_cols[f"{name}__c"] = F.count(c)
+        else:
+            partial_cols[name] = getattr(F, fn)(c)
+
+    salted = add_salt(df, n_salts, salt_from=None)
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[c.alias(n) for n, c in partial_cols.items()])
+
+    final_cols: list[Column] = []
+    for name, (_, fn) in aggs.items():
+        if fn in ("sum", "count"):
+            final_cols.append(F.sum(name).alias(name))
+        elif fn == "avg":
+            final_cols.append(
+                (F.sum(f"{name}__s") / F.sum(f"{name}__c")).alias(name))
+        else:                                   # min / max re-apply
+            final_cols.append(getattr(F, fn)(name).alias(name))
+    return stage1.groupBy(*keys).agg(*final_cols)
+
+
+def salted_join(large: DataFrame, small: DataFrame, on: list[str],
+                n_salts: int, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: salt the large side, explode the small side
+    once per salt value, join on (keys, salt). The small side grows
+    ``n_salts``× — use only when it is too big to broadcast but far
+    smaller than the large side."""
+    # salt from ALL columns, not the join keys: rows sharing a hot key must
+    # scatter across salts (keys-only hashing would re-collapse them)
+    salted_large = add_salt(large, n_salts, salt_from=None)
+    exploded_small = small.withColumn(
+        "__salt", F.explode(F.sequence(
+            F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))))
+    out = salted_large.join(exploded_small, [*on, "__salt"], how)
+    return out.drop("__salt")

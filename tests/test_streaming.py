@@ -76,3 +76,58 @@ def test_session_windows_batch_equivalence(spark):
     sessions = windows.user_sessions(events)
     agg = sessions.agg(F.sum("event_count").alias("n")).collect()[0]
     assert agg.n == events.count()  # every event lands in exactly one session
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState across TWO micro-batches must equal the batch
+    lag-window computation — including the cross-batch boundary gap that
+    only per-key state can see."""
+    from pyspark.sql import Window as W
+
+    from redshift_to_lakehouse_migration_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    events = load(spark, SF, "events").filter("user_id <= 20")
+    # two files → two micro-batches (maxFilesPerTrigger=1), split by time so
+    # the boundary gap genuinely crosses batches
+    cut = events.selectExpr("percentile(cast(ts as double), 0.5) p") \
+        .collect()[0].p
+    src_dir = tmp_path / "events_stream"
+    events.filter(F.col("ts").cast("double") <= cut).coalesce(1) \
+        .write.parquet(str(src_dir / "b1"))
+    events.filter(F.col("ts").cast("double") > cut).coalesce(1) \
+        .write.parquet(str(src_dir / "b2"))
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src_dir / "*")))
+    q = (running_user_stats(stream)
+         .writeStream.format("memory").queryName("user_state")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # update mode emits one row per user per touching batch → keep the last
+    streamed = spark.sql("""
+        SELECT user_id, event_count, total_value, max_gap_seconds
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY event_count DESC) rn
+              FROM user_state) WHERE rn = 1""")
+    w = W.partitionBy("user_id").orderBy("ts")
+    batch = (events
+             .withColumn("gap", F.col("ts").cast("double")
+                         - F.lag(F.col("ts").cast("double")).over(w))
+             .groupBy("user_id")
+             .agg(F.count("*").alias("event_count"),
+                  F.sum("value").alias("total_value"),
+                  F.coalesce(F.max("gap"), F.lit(0.0))
+                  .alias("max_gap_seconds")))
+    s = {r.user_id: r for r in streamed.collect()}
+    b = {r.user_id: r for r in batch.collect()}
+    assert set(s) == set(b)
+    for uid in b:
+        assert s[uid].event_count == b[uid].event_count, uid
+        assert abs(s[uid].total_value - b[uid].total_value) < 1e-6, uid
+        assert abs(s[uid].max_gap_seconds - b[uid].max_gap_seconds) < 1e-6, uid
