@@ -257,3 +257,72 @@ ORACLES["events_salted_type_totals"] = f"""
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each click event enriched with the user's
+    most recent prior-or-simultaneous purchase — the point-in-time
+    enrichment operator (union-window form, one shuffle; see asof.py).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..asof import asof_join
+    e = load(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "ts", "user_id",
+                      F.col("value").alias("click_value")))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    out = asof_join(clicks, purchases, by=["user_id"], ts_col="ts",
+                    tie_break=None, prefix="p_")
+    return out.select(
+        "event_id", "ts", "user_id", "click_value",
+        F.col("p_ts").alias("last_purchase_ts"),
+        F.col("p_value").alias("last_purchase_value"),
+    )
+
+
+QUERIES["events_asof_purchase"] = events_asof_purchase
+
+ORACLES["events_asof_purchase"] = """
+    SELECT c.event_id, c.ts, c.user_id, c.value AS click_value,
+           p.ts AS last_purchase_ts, p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def events_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: (click, error) pairs for the same user with the
+    error in the 2 hours after the click — an interval join executed as an
+    equality join on (user, time-bucket), never a per-key nested loop
+    (see rangejoin.py). Gap is exact integer microseconds so the DuckDB
+    twin hash-matches bit-for-bit."""
+    from ..rangejoin import range_join_binned
+    e = load(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("error_id"),
+                      F.col("ts").alias("error_ts")))
+    out = range_join_binned(clicks, errors, by=["user_id"],
+                            left_ts="click_ts", right_ts="error_ts",
+                            lower=0.0, upper=7200.0)
+    return out.select(
+        "user_id", "click_id", "error_id", "click_ts", "error_ts",
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts"))
+        .alias("gap_us"),
+    )
+
+
+QUERIES["events_error_after_click"] = events_error_after_click
+
+ORACLES["events_error_after_click"] = """
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+           c.ts AS click_ts, e.ts AS error_ts,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 120 MINUTE
+"""
