@@ -326,3 +326,48 @@ ORACLES["events_error_after_click"] = """
       ON c.user_id = e.user_id
      AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 120 MINUTE
 """
+
+
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly partials rolled up to
+    daily WITHOUT rescanning raw events (rollup.py). The oracle is the
+    direct daily GROUP BY on raw rows — partial re-aggregation must be
+    semantics-identical. Decimal sums keep it order-independent."""
+    from ..rollup import finalize, reroll, time_rollup
+    e = load(spark, sf_dir, "events")
+    spec = {
+        "event_count": ("*", "count"),
+        "total_value": ("__dec_value", "sum"),
+        "min_value": ("value", "min"),
+        "max_value": ("value", "max"),
+    }
+    hourly = time_rollup(
+        e.withColumn("__dec_value", F.col("value").cast("decimal(24,2)")),
+        "ts", "hour", ["event_type"], spec)
+    daily = finalize(reroll(hourly, "day", ["event_type"], spec), spec)
+    # avg finalized in double (dsum/count) to match the davg convention
+    return daily.select(
+        F.col("bucket_ts").alias("day"),
+        "event_type", "event_count",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_value", "max_value",
+        (F.col("total_value").cast("double") / F.col("event_count"))
+        .alias("avg_value"),
+    ).orderBy("day", "event_type")
+
+
+QUERIES["events_daily_from_hourly"] = events_daily_from_hourly
+
+ORACLES["events_daily_from_hourly"] = f"""
+    SELECT
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        event_type,
+        COUNT(*) AS event_count,
+        {dsum_sql("value")} AS total_value,
+        MIN(value) AS min_value,
+        MAX(value) AS max_value,
+        {dsum_sql("value")}/COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -1,0 +1,87 @@
+"""Hypertable-style time rollups: hierarchical continuous aggregates.
+
+The pattern behind TimescaleDB continuous aggregates / Druid rollup
+segments: aggregate raw events ONCE into fine-grained partials (say
+hourly), then derive every coarser grain (day, month) by re-aggregating
+the partials — never re-scanning raw data. At 100 TB/day the raw scan is
+the dominant cost; partials are ~10⁴–10⁶× smaller, so daily/monthly
+refreshes become trivial jobs, and late data only dirties the partials of
+the hours it lands in.
+
+Only decomposable aggregates survive re-aggregation (sum/count/min/max;
+avg carried as sum+count and finalized at read time). The
+oracle-checked ``events_daily_from_hourly`` query proves partials →
+coarse ≡ direct GROUP BY on raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+AggSpec = dict[str, tuple[str, str]]   # name -> (source col | "*", fn)
+
+
+def _check(aggs: AggSpec) -> None:
+    for name, (_, fn) in aggs.items():
+        if fn not in ("sum", "count", "min", "max", "avg"):
+            raise ValueError(
+                f"{name}: {fn!r} does not survive re-aggregation "
+                f"(holistic aggs need the raw data)")
+
+
+def time_rollup(df: DataFrame, ts_col: str, grain: str,
+                keys: list[str], aggs: AggSpec) -> DataFrame:
+    """Raw rows → partials at ``grain``. Output: ``bucket_ts``, keys, one
+    column per agg (avg becomes ``name__s``/``name__c`` partial pairs)."""
+    if grain not in _GRAINS:
+        raise ValueError(f"grain must be one of {_GRAINS}: {grain}")
+    _check(aggs)
+    cols: dict[str, Column] = {}
+    for name, (src, fn) in aggs.items():
+        c = F.col(src) if src != "*" else None
+        if fn == "count":
+            cols[name] = F.count("*") if src == "*" else F.count(c)
+        elif fn == "avg":
+            cols[f"{name}__s"] = F.sum(c)
+            cols[f"{name}__c"] = F.count(c)
+        else:
+            cols[name] = getattr(F, fn)(c)
+    return (df.groupBy(F.date_trunc(grain, F.col(ts_col))
+                       .alias("bucket_ts"), *keys)
+            .agg(*[c.alias(n) for n, c in cols.items()]))
+
+
+def reroll(partials: DataFrame, grain: str, keys: list[str],
+           aggs: AggSpec) -> DataFrame:
+    """Partials at a finer grain → partials at coarser ``grain``. Never
+    touches raw data; input and output schemas are identical, so rollups
+    chain (hour → day → month)."""
+    if grain not in _GRAINS:
+        raise ValueError(f"grain must be one of {_GRAINS}: {grain}")
+    _check(aggs)
+    cols: list[Column] = []
+    for name, (_, fn) in aggs.items():
+        if fn in ("sum", "count"):
+            cols.append(F.sum(name).alias(name))
+        elif fn == "avg":
+            cols.append(F.sum(f"{name}__s").alias(f"{name}__s"))
+            cols.append(F.sum(f"{name}__c").alias(f"{name}__c"))
+        else:
+            cols.append(getattr(F, fn)(name).alias(name))
+    return (partials.groupBy(F.date_trunc(grain, F.col("bucket_ts"))
+                             .alias("bucket_ts"), *keys)
+            .agg(*cols))
+
+
+def finalize(partials: DataFrame, aggs: AggSpec) -> DataFrame:
+    """Resolve avg partial pairs into the final mean column (read-time)."""
+    out = partials
+    for name, (_, fn) in aggs.items():
+        if fn == "avg":
+            out = (out.withColumn(
+                name, F.col(f"{name}__s") / F.col(f"{name}__c"))
+                .drop(f"{name}__s", f"{name}__c"))
+    return out

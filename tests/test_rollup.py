@@ -1,0 +1,60 @@
+"""Continuous-aggregate rollup: partials re-aggregated through a grain
+chain (hour → day → month) must equal the direct aggregate on raw rows,
+including the avg carried as sum/count partials."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshift_to_lakehouse_migration_spark.rollup import (
+    finalize, reroll, time_rollup,
+)
+
+SPEC = {
+    "n": ("*", "count"),
+    "total": ("v", "sum"),
+    "lo": ("v", "min"),
+    "hi": ("v", "max"),
+    "mean": ("v", "avg"),
+}
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [(f"2024-0{1 + i % 2}-{1 + i % 9:02d} {i % 24:02d}:{i % 60:02d}:00",
+             "a" if i % 3 else "b", float(i)) for i in range(500)]
+    return spark.createDataFrame(rows, "ts_s string, k string, v double") \
+        .select(F.to_timestamp("ts_s").alias("ts"), "k", "v")
+
+
+def test_chained_rollup_matches_direct(spark, raw):
+    hourly = time_rollup(raw, "ts", "hour", ["k"], SPEC)
+    daily = reroll(hourly, "day", ["k"], SPEC)
+    monthly = finalize(reroll(daily, "month", ["k"], SPEC), SPEC)
+
+    direct = (raw.groupBy(F.date_trunc("month", "ts").alias("bucket_ts"), "k")
+              .agg(F.count("*").alias("n"), F.sum("v").alias("total"),
+                   F.min("v").alias("lo"), F.max("v").alias("hi"),
+                   F.avg("v").alias("mean")))
+    got = {(r.bucket_ts, r.k): r for r in monthly.collect()}
+    want = {(r.bucket_ts, r.k): r for r in direct.collect()}
+    assert set(got) == set(want) and len(got) >= 4
+    for key in want:
+        assert got[key].n == want[key].n, key
+        assert abs(got[key].total - want[key].total) < 1e-9
+        assert got[key].lo == want[key].lo and got[key].hi == want[key].hi
+        assert abs(got[key].mean - want[key].mean) < 1e-9
+
+
+def test_rollup_rejects_holistic(spark, raw):
+    with pytest.raises(ValueError, match="re-aggregation"):
+        time_rollup(raw, "ts", "hour", ["k"], {"p50": ("v", "median")})
+
+
+def test_partials_are_small(spark, raw):
+    """The whole point: partials shrink the data; day partials ≤ hour."""
+    hourly = time_rollup(raw, "ts", "hour", ["k"], SPEC)
+    daily = reroll(hourly, "day", ["k"], SPEC)
+    n_raw, n_hour, n_day = raw.count(), hourly.count(), daily.count()
+    assert n_hour < n_raw and n_day <= n_hour
