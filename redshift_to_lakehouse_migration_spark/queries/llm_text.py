@@ -240,3 +240,74 @@ ORACLES = {
         LIMIT 100
     """,
 }
+
+
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep: quality gate (length + punct +
+    stopword mix) → exact-dedup keeper selection → per-language corpus
+    stats. The canonical LLM-data funnel, composed from the same
+    expressions the individual queries verify — one scan, one groupBy for
+    the dedup, one for the stats; linear at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    punct_ratio = (F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+                   / n_chars)
+    stop_ratio = F.regexp_count(F.lower(text), F.lit(_STOP_RE)) / n_tokens
+    gated = (
+        d.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+        .select("doc_id", "lang", F.md5(norm).alias("content_hash"),
+                n_tokens.cast("long").alias("n_tokens"))
+        .filter((n_tokens >= 5) & (punct_ratio < 0.2)
+                & stop_ratio.between(0.01, 0.6))
+    )
+    keepers = (
+        gated.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count("*").alias("dup_count"))
+    )
+    kept = gated.join(keepers.select("content_hash", "doc_id", "dup_count"),
+                      ["content_hash", "doc_id"])
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("kept_docs"),
+             F.sum("n_tokens").alias("kept_tokens"),
+             F.sum(F.col("dup_count") - 1).alias("dups_removed"))
+        .orderBy("lang")
+    )
+
+
+QUERIES["corpus_prep"] = corpus_prep
+
+ORACLES["corpus_prep"] = f"""
+    WITH gated AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS content_hash,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
+          AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+          AND length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+              / length(text) < 0.2
+          AND len(regexp_extract_all(lower(text), '{_STOP_RE}'))
+              / len(regexp_split_to_array(trim(text), '\\s+'))
+              BETWEEN 0.01 AND 0.6
+    ), keepers AS (
+        SELECT content_hash, MIN(doc_id) AS doc_id,
+               COUNT(*) AS dup_count
+        FROM gated GROUP BY content_hash
+    )
+    SELECT g.lang,
+           COUNT(*) AS kept_docs,
+           SUM(g.n_tokens) AS kept_tokens,
+           SUM(k.dup_count - 1) AS dups_removed
+    FROM gated g
+    JOIN keepers k ON g.content_hash = k.content_hash
+                  AND g.doc_id = k.doc_id
+    GROUP BY g.lang
+    ORDER BY g.lang
+"""
