@@ -91,11 +91,11 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5: deterministic coarse centroids (vec_id % 25 = 0),
+    """IVF ANN top-5: deterministic coarse centroids (vec_id % 64 = 0, ~sqrt(N) lists),
     nearest-centroid inverted lists, multi-probe (nprobe=2) search with
     exact cosine re-rank confined to the probed lists."""
     e = load(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % 25 == 0)
+    centroids = e.filter(F.col("vec_id") % 64 == 0)
     lists = sim.ivf_assign(e, centroids, "vec_id", "embedding",
                            "vec_id", "embedding", nprobe=1)
     probes = (
@@ -188,7 +188,7 @@ ORACLES = {
     "knn_ivf": f"""
         WITH cent AS (
             SELECT vec_id AS centroid_id, embedding AS c_emb
-            FROM embeddings WHERE vec_id % 25 = 0
+            FROM embeddings WHERE vec_id % 64 = 0
         ), corpus_sim AS (
             SELECT e.vec_id, e.embedding, c.centroid_id,
                    round({_dot_sql("e.embedding", "c.c_emb")} /
