@@ -59,7 +59,7 @@ def main() -> None:
         t0 = time.perf_counter()
         pipe = build_medallion_pipeline(spark, f"{tmp}/raw",
                                         f"{tmp}/warehouse", "2024-06-01")
-        outputs, _ = pipe.run()
+        outputs, _ = pipe.run(max_workers=4)
         for df in outputs.values():     # execute every unmaterialized node
             df.write.format("noop").mode("overwrite").save()
         pipeline_sec = round(time.perf_counter() - t0, 3)

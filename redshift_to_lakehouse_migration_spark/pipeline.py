@@ -57,34 +57,69 @@ class Pipeline:
                                  partition_by)
         return self
 
-    def run(self, count_rows: bool = False
+    def _run_node(self, node: Node, outputs: dict[str, DataFrame],
+                  count_rows: bool) -> NodeRun:
+        t0 = time.perf_counter()
+        df = node.fn(self.spark, **{d: outputs[d] for d in node.deps})
+        if node.materialize:
+            writer = df.write.mode("overwrite")
+            if node.partition_by:
+                writer = writer.partitionBy(*node.partition_by)
+            writer.parquet(node.materialize)
+            df = self.spark.read.parquet(node.materialize)
+        outputs[node.name] = df
+        return NodeRun(node.name, round(time.perf_counter() - t0, 3),
+                       df.count() if count_rows else None)
+
+    def run(self, count_rows: bool = False, max_workers: int = 1
             ) -> tuple[dict[str, DataFrame], list[NodeRun]]:
-        """Execute topologically; returns node outputs + per-node metrics.
+        """Execute the DAG; returns node outputs + per-node metrics.
 
         ``count_rows`` adds a count job per node (the reference counts every
         layer, SURVEY §3; off by default — at scale you want the fused
         DQ pass to report counts instead).
+
+        ``max_workers > 1`` runs topologically-ready nodes concurrently
+        (Spark's scheduler interleaves the jobs across executors — the
+        in-session analog of the reference's parallel workflow tasks,
+        `databricks.yml:131-162`, where all four bronze ingests run at
+        once). Plan construction is lazy and cheap; concurrency only pays
+        on nodes that execute jobs (materialize/count), so the default
+        stays serial.
         """
-        order = TopologicalSorter(
+        if max_workers <= 1:
+            order = TopologicalSorter(
+                {n.name: set(n.deps) for n in self._nodes.values()})
+            outputs: dict[str, DataFrame] = {}
+            runs: list[NodeRun] = []
+            for name in order.static_order():
+                node = self._nodes[name]
+                missing = [d for d in node.deps if d not in outputs]
+                if missing:
+                    raise ValueError(
+                        f"node {name!r} missing deps {missing}")
+                runs.append(self._run_node(node, outputs, count_rows))
+            return outputs, runs
+
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+        from concurrent.futures import wait as fwait
+
+        sorter = TopologicalSorter(
             {n.name: set(n.deps) for n in self._nodes.values()})
-        outputs: dict[str, DataFrame] = {}
-        runs: list[NodeRun] = []
-        for name in order.static_order():
-            node = self._nodes[name]
-            missing = [d for d in node.deps if d not in outputs]
-            if missing:
-                raise ValueError(f"node {name!r} missing deps {missing}")
-            t0 = time.perf_counter()
-            df = node.fn(self.spark,
-                         **{d: outputs[d] for d in node.deps})
-            if node.materialize:
-                writer = df.write.mode("overwrite")
-                if node.partition_by:
-                    writer = writer.partitionBy(*node.partition_by)
-                writer.parquet(node.materialize)
-                df = self.spark.read.parquet(node.materialize)
-            outputs[name] = df
-            runs.append(NodeRun(
-                name, round(time.perf_counter() - t0, 3),
-                df.count() if count_rows else None))
+        sorter.prepare()
+        outputs = {}
+        runs = []
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            pending = {}
+            while sorter.is_active():
+                for name in sorter.get_ready():
+                    pending[pool.submit(
+                        self._run_node, self._nodes[name], outputs,
+                        count_rows)] = name
+                if not pending:
+                    break
+                done, _ = fwait(pending, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    runs.append(fut.result())       # re-raises node errors
+                    sorter.done(pending.pop(fut))
         return outputs, runs

@@ -400,3 +400,42 @@ ORACLES["segment_status_pivot"] = f"""
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
 """
+
+
+def supplier_region_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensional chain supplier → nation → region (both dims broadcast)
+    with decimal-exact balance aggregates per region — completes the
+    driver-table coverage (supplier/region were otherwise untouched)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("n_suppliers"),
+             F.countDistinct("n_nationkey").alias("n_nations"),
+             dsum("s_acctbal").alias("total_acctbal"),
+             davg("s_acctbal").alias("avg_acctbal"),
+             F.min("s_acctbal").alias("min_acctbal"),
+             F.max("s_acctbal").alias("max_acctbal"))
+        .orderBy("region_name")
+    )
+
+
+QUERIES["supplier_region_summary"] = supplier_region_summary
+
+ORACLES["supplier_region_summary"] = f"""
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_suppliers,
+           COUNT(DISTINCT n.n_nationkey) AS n_nations,
+           {dsum_sql("s_acctbal")} AS total_acctbal,
+           {davg_sql("s_acctbal")} AS avg_acctbal,
+           MIN(s_acctbal) AS min_acctbal,
+           MAX(s_acctbal) AS max_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+"""

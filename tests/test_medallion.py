@@ -110,3 +110,17 @@ def test_scd2_roundtrip_on_dim_policy(pipeline_outputs, spark):
     cur = [v for v in versions if v.is_current][0]
     assert cur.status == "SUSPENDED"
     assert out.count() == dim.count() + 1
+
+
+def test_parallel_dag_run_matches_serial(spark, raw_dir, tmp_path_factory,
+                                         pipeline_outputs):
+    """max_workers>1 (the reference's parallel workflow tasks) must produce
+    identical layer outputs."""
+    serial_outputs, _, _ = pipeline_outputs
+    warehouse = tmp_path_factory.mktemp("warehouse_par")
+    p = build_medallion_pipeline(spark, raw_dir, warehouse, AS_OF)
+    par_outputs, runs = p.run(max_workers=4)
+    assert set(par_outputs) == set(serial_outputs)
+    for name in ("bronze_policies", "silver_policies", "dim_policy",
+                 "fact_claims", "fact_premiums"):
+        assert par_outputs[name].count() == serial_outputs[name].count(), name
