@@ -61,11 +61,16 @@ class CheckResult:
 
 @dataclass
 class Check:
-    """A named check that contributes one failed-count aggregate column."""
+    """A named check that contributes one failed-count aggregate column.
+
+    ``row_fail_cond`` (when the check is row-local) marks individual
+    failing rows — the quarantine path uses it; set-level checks
+    (unique/composite_unique) have none."""
     name: str
     column: str | None
     failed_expr: Column  # aggregate expr → number of failing rows
     details: str | None = None
+    row_fail_cond: Column | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -77,6 +82,7 @@ def not_null(column: str) -> Check:
     return Check(
         f"not_null_{column}", column,
         F.sum(F.when(F.col(column).isNull(), 1).otherwise(0)).cast("long"),
+        row_fail_cond=F.col(column).isNull(),
     )
 
 
@@ -96,6 +102,8 @@ def accepted_values(column: str, accepted: list[Any]) -> Check:
                      & ~F.col(column).isin(accepted), 1)
               .otherwise(0)).cast("long"),
         details=f"accepted={accepted}",
+        row_fail_cond=F.col(column).isNotNull()
+        & ~F.col(column).isin(accepted),
     )
 
 
@@ -112,6 +120,7 @@ def in_range(column: str, min_value: Any = None,
         f"in_range_{column}", column,
         F.sum(F.when(cond, 1).otherwise(0)).cast("long"),
         details=f"range=[{min_value}, {max_value}]",
+        row_fail_cond=cond,
     )
 
 
@@ -133,6 +142,7 @@ def expression_check(name: str, failing_condition: Column,
         name, None,
         F.sum(F.when(failing_condition, 1).otherwise(0)).cast("long"),
         details=details,
+        row_fail_cond=failing_condition,
     )
 
 
@@ -157,6 +167,31 @@ def run_checks(df: DataFrame, checks: list[Check],
         )
         for i, c in enumerate(checks)
     ]
+
+
+def quarantine(df: DataFrame, checks: list[Check]
+               ) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (clean, quarantined) on the row-local checks — the
+    production failure policy the reference names but defers
+    (`silver/clean_policies.py:124-129` logs and continues; SURVEY §3
+    entry 2 step 5). One lineage, two filters; quarantined rows carry a
+    ``_failed_checks`` array naming every rule they broke, so the
+    quarantine table is self-describing for replay after a fix.
+
+    Set-level checks (unique/composite_unique) have no row-local
+    condition and are skipped here — run_checks still reports them.
+    """
+    row_checks = [c for c in checks if c.row_fail_cond is not None]
+    if not row_checks:
+        return df, df.limit(0).withColumn(
+            "_failed_checks", F.array().cast("array<string>"))
+    failed = F.array_compact(F.array(*[
+        F.when(c.row_fail_cond, F.lit(c.name)) for c in row_checks]))
+    tagged = df.withColumn("_failed_checks", failed)
+    clean = tagged.filter(F.size("_failed_checks") == 0) \
+        .drop("_failed_checks")
+    bad = tagged.filter(F.size("_failed_checks") > 0)
+    return clean, bad
 
 
 def check_relationships(df: DataFrame, column: str, ref_df: DataFrame,

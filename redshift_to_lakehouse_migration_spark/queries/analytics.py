@@ -439,3 +439,37 @@ ORACLES["supplier_region_summary"] = f"""
     GROUP BY r.r_name
     ORDER BY r.r_name
 """
+
+
+def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join on the part dimension (broadcast) with discounted
+    revenue per brand — covers the remaining fact⋈part join axis."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(30,8)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n_lines"),
+             F.countDistinct("p_partkey").alias("n_parts"),
+             F.sum(disc).cast("double").alias("revenue"),
+             dsum("l_quantity").alias("total_qty"))
+        .orderBy("brand")
+    )
+
+
+QUERIES["part_brand_revenue"] = part_brand_revenue
+
+ORACLES["part_brand_revenue"] = f"""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT p.p_partkey) AS n_parts,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           {dsum_sql("l_quantity")} AS total_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""

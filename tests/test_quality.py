@@ -70,3 +70,31 @@ def test_validate_schema_and_drift(spark):
                                   "x string, y int, _meta string")
     drift = q.compare_schemas(df, other)
     assert drift.is_valid  # _meta ignored like the recon harness
+
+
+def test_quarantine_splits_and_labels(spark):
+    from redshift_to_lakehouse_migration_spark.quality import (
+        accepted_values, in_range, not_null, quarantine, unique,
+    )
+    df = spark.createDataFrame(
+        [("a", "ACTIVE", 10.0), (None, "ACTIVE", 5.0),
+         ("c", "BOGUS", -2.0), ("d", "EXPIRED", 1.0)],
+        "id string, status string, amount double")
+    checks = [not_null("id"),
+              accepted_values("status", ["ACTIVE", "EXPIRED"]),
+              in_range("amount", min_value=0),
+              unique("id")]          # set-level: ignored by quarantine
+    clean, bad = quarantine(df, checks)
+    assert {r.id for r in clean.collect()} == {"a", "d"}
+    labels = {r.id: sorted(r._failed_checks) for r in bad.collect()}
+    assert labels[None] == ["not_null_id"]
+    assert labels["c"] == ["accepted_values_status", "in_range_amount"]
+
+
+def test_quarantine_no_row_checks(spark):
+    from redshift_to_lakehouse_migration_spark.quality import (
+        quarantine, unique,
+    )
+    df = spark.createDataFrame([("a",), ("a",)], "id string")
+    clean, bad = quarantine(df, [unique("id")])
+    assert clean.count() == 2 and bad.count() == 0
