@@ -58,3 +58,14 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes",
                 F.col("s.end").alias("session_end"),
                 "event_count", "session_value")
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    on: str) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) event frame
+    against a static dimension. The dim side broadcasts, so each
+    micro-batch joins map-side with no shuffle and no streaming state —
+    the standard shape for attaching user/customer attributes at 100
+    TB/day (state-free, unlike a stream-stream join)."""
+    from pyspark.sql.functions import broadcast
+    return events.join(broadcast(dim), on, "left")

@@ -131,3 +131,30 @@ def test_stateful_running_user_stats(spark, tmp_path):
         assert s[uid].event_count == b[uid].event_count, uid
         assert abs(s[uid].total_value - b[uid].total_value) < 1e-6, uid
         assert abs(s[uid].max_gap_seconds - b[uid].max_gap_seconds) < 1e-6, uid
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static join: streamed events enriched against a static user
+    dimension must equal the batch join, with the dim side broadcast."""
+    events = load(spark, SF, "events").filter("user_id <= 10")
+    events.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    dim = spark.createDataFrame(
+        [(i, f"tier_{i % 3}") for i in range(11)],
+        "user_id long, tier string")
+
+    stream = (spark.readStream.schema(events.schema)
+              .parquet(str(tmp_path / "ev")))
+    out = windows.enrich_with_dim(stream, dim, "user_id")
+    q = (out.writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dim"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = spark.sql(
+        "SELECT user_id, tier, count(*) n FROM enriched GROUP BY 1, 2")
+    batch = (windows.enrich_with_dim(events, dim, "user_id")
+             .groupBy("user_id", "tier").count())
+    s = {(r.user_id, r.tier): r.n for r in streamed.collect()}
+    b = {(r.user_id, r.tier): r["count"] for r in batch.collect()}
+    assert s == b and len(s) == 11
