@@ -371,3 +371,34 @@ ORACLES["events_daily_from_hourly"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+def events_daily_unique_users_hll(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Approx-distinct via mergeable HLL sketches: per-day sketches are
+    built once, and the whole-month distinct comes from MERGING the daily
+    sketches (hll_union_agg) — the continuous-aggregate pattern for
+    COUNT(DISTINCT) at 100 TB, where exact distinct would shuffle every
+    key. Rows-only correctness check (estimates are engine-specific);
+    the unit test bounds the estimate against the exact count."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("user_sketch"),
+             F.count("*").alias("n_events"))
+    )
+    per_day = daily.select(
+        "day", "n_events",
+        F.hll_sketch_estimate("user_sketch").alias("approx_users"))
+    month = (
+        daily.groupBy(F.date_trunc("month", F.col("day")).alias("day"))
+        .agg(F.sum("n_events").alias("n_events"),
+             F.hll_sketch_estimate(F.hll_union_agg("user_sketch"))
+             .alias("approx_users"))
+    )
+    return per_day.unionByName(month).orderBy("day", "n_events")
+
+
+QUERIES["events_daily_unique_users_hll"] = events_daily_unique_users_hll
+# no ORACLE: HLL estimates are engine-specific; driver checks rows-only,
+# tests/test_queries_oracle.py bounds the estimate vs exact distinct

@@ -69,3 +69,33 @@ def test_query_matches_oracle(name, spark, oracle_con):
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert len(s_rows) == len(d_rows)
     assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
+
+
+def test_hll_estimates_bounded(spark):
+    """HLL sketch estimates (no oracle) must land within 5% of the exact
+    distinct count, and the merged-month sketch must equal the estimate
+    over raw rows (merge-correctness of the sketch)."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_lakehouse_migration_spark.queries.events import (
+        events_daily_unique_users_hll,
+    )
+    from redshift_to_lakehouse_migration_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = events_daily_unique_users_hll(spark, sf).collect()
+    e = load(spark, sf, "events")
+    exact_by_day = {
+        r.day: r.exact for r in
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact")).collect()}
+    total = e.count()
+    checked = 0
+    for r in rows:
+        if r.n_events == total:       # the merged month row
+            exact = e.select("user_id").distinct().count()
+        else:
+            exact = exact_by_day[r.day]
+        assert abs(r.approx_users - exact) <= max(2, 0.05 * exact), r
+        checked += 1
+    assert checked == len(exact_by_day) + 1
