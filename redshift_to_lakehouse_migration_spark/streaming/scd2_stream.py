@@ -1,0 +1,54 @@
+"""Streaming SCD2: incremental dimension maintenance from a change stream.
+
+The reference's incremental mode runs Delta MERGE per scheduled batch
+(`gold/dim_policy.py:98-148`); here the same semantics ride Structured
+Streaming via ``foreachBatch`` — each micro-batch of change rows merges
+into the persisted dimension with :func:`scd2.scd2_merge`, then the
+updated table atomically replaces the old (write-aside + swap, since the
+pure-parquet path cannot rewrite in place while reading).
+
+Exactly-once: the stream checkpoint fences micro-batch replays, and the
+merge itself is idempotent for replayed batches (a replay carries no
+tracked-column change against the already-merged dim, so it produces the
+identical table).
+
+Scale: per micro-batch cost is the scd2_merge cost — one shuffle on the
+business key over (dim ∪ batch); closed history passes through. For very
+large dims, partition the dim by key range and merge only touched
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..scd2 import scd2_merge
+
+
+def stream_scd2(spark: SparkSession, changes: DataFrame, dim_path: str,
+                key_cols: list[str], tracked_cols: list[str],
+                as_of: str, checkpoint: str,
+                order_col: str | None = None) -> None:
+    """Drain ``changes`` (a streaming DataFrame) into the SCD2 dimension
+    parquet at ``dim_path`` with an availableNow one-shot trigger."""
+    import shutil
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dim = spark.read.parquet(dim_path)
+        merged = scd2_merge(dim, batch_df, key_cols, tracked_cols,
+                            as_of, order_col=order_col)
+        tmp = dim_path.rstrip("/") + f"__b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = dim_path.rstrip("/") + "__old"
+        shutil.move(dim_path, old)
+        shutil.move(tmp, dim_path)
+        shutil.rmtree(old)
+
+    (changes.writeStream
+     .foreachBatch(merge_batch)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())

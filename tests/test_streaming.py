@@ -158,3 +158,54 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     s = {(r.user_id, r.tier): r.n for r in streamed.collect()}
     b = {(r.user_id, r.tier): r["count"] for r in batch.collect()}
     assert s == b and len(s) == 11
+
+
+def test_streaming_scd2_merge(spark, tmp_path):
+    """Change rows landing as files stream into the SCD2 dimension via
+    foreachBatch: per-batch merges accumulate versions exactly like the
+    batch merge, and the checkpoint makes a re-run a no-op."""
+    from redshift_to_lakehouse_migration_spark.scd2 import init_scd2
+    from redshift_to_lakehouse_migration_spark.streaming.scd2_stream import (
+        stream_scd2,
+    )
+
+    dim_path = str(tmp_path / "dim_user")
+    snap = spark.createDataFrame(
+        [(1, "bronze"), (2, "silver"), (3, "gold")],
+        "user_id long, tier string")
+    init_scd2(snap, "2024-01-01").write.parquet(dim_path)
+
+    land = tmp_path / "changes"
+    land.mkdir()
+    spark.createDataFrame([(1, "silver")], "user_id long, tier string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(land / "b1"))
+    spark.createDataFrame([(2, "silver"), (4, "bronze")],
+                          "user_id long, tier string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(land / "b2"))
+
+    changes = (spark.readStream.schema("user_id long, tier string")
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(land / "*")))
+    ckpt = str(tmp_path / "ckpt_scd2")
+    stream_scd2(spark, changes, dim_path, ["user_id"], ["tier"],
+                "2024-02-01", ckpt)
+
+    dim = spark.read.parquet(dim_path)
+    assert dim.count() == 5                     # 3 + 1 new version + user 4
+    u1 = {r.is_current: r.tier
+          for r in dim.filter("user_id = 1").collect()}
+    assert u1[True] == "silver" and u1[False] == "bronze"
+    assert dim.filter("user_id = 2 AND is_current").collect()[0].tier \
+        == "silver"
+    assert dim.filter("user_id = 3").count() == 1        # untouched
+    assert dim.filter("user_id = 4 AND is_current").count() == 1
+
+    # replay with the same checkpoint: no new files → dimension unchanged
+    changes2 = (spark.readStream.schema("user_id long, tier string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(land / "*")))
+    stream_scd2(spark, changes2, dim_path, ["user_id"], ["tier"],
+                "2024-03-01", ckpt)
+    assert spark.read.parquet(dim_path).count() == 5
