@@ -473,3 +473,39 @@ ORACLES["part_brand_revenue"] = f"""
     GROUP BY p.p_brand
     ORDER BY p.p_brand
 """
+
+
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping sets in one pass —
+    completes the grouping-set family next to revenue_rollup's ROLLUP.
+    GROUPING() flags distinguish real NULLs from subtotal rows."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_orderpriority").alias("order_priority"),
+        "o_totalprice")
+    return (
+        o.cube("order_status", "order_priority")
+        .agg(F.count("*").alias("n_orders"),
+             dsum("o_totalprice").alias("total_price"),
+             F.grouping("order_status").cast("long")
+             .alias("is_status_subtotal"),
+             F.grouping("order_priority").cast("long")
+             .alias("is_priority_subtotal"))
+        .orderBy("order_status", "order_priority")
+    )
+
+
+QUERIES["status_priority_cube"] = status_priority_cube
+
+ORACLES["status_priority_cube"] = f"""
+    SELECT o_orderstatus AS order_status,
+           o_orderpriority AS order_priority,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS total_price,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_status_subtotal,
+           CAST(GROUPING(o_orderpriority) AS BIGINT)
+               AS is_priority_subtotal
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY order_status, order_priority
+"""
