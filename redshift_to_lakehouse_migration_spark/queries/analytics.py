@@ -28,16 +28,20 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the classic pricing-summary shape (groupBy two flags, 8 measures)
     — the engine twin of `int_premium_summary.sql:9-23` at lineitem grain."""
     li = load(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charged = disc * (1 + F.col("l_tax"))
+    # exact decimal products: the raw doubles carry 2-decimal values, so
+    # cast-then-multiply is exact in BOTH engines; a double product
+    # rounded to decimal(,8) hits engine-dependent half-way cases
+    disc = (F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    charged = disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc, scale=8, precision=30).alias("sum_disc_price"),
-            dsum(charged, scale=8, precision=30).alias("sum_charge"),
+            dsum(disc, scale=4, precision=30).alias("sum_disc_price"),
+            dsum(charged, scale=6, precision=30).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg(F.col("l_discount"), scale=4).alias("avg_disc"),
@@ -67,8 +71,9 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
         .groupBy("o_custkey")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                 scale=8, precision=30).alias("revenue"),
+            dsum(F.col("l_extendedprice").cast("decimal(18,2)")
+                 * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")),
+                 scale=4, precision=30).alias("revenue"),
             F.countDistinct("o_orderkey").alias("order_count"),
         )
         .filter(F.col("order_count") >= 3)
@@ -222,8 +227,9 @@ QUERIES = {
     "premium_payment_summary": premium_payment_summary,
 }
 
-_DISC = "l_extendedprice * (1 - l_discount)"
-_CHARGED = "(l_extendedprice * (1 - l_discount)) * (1 + l_tax)"
+_DISC = ("(CAST(l_extendedprice AS DECIMAL(18,2)) "
+         "* (1 - CAST(l_discount AS DECIMAL(4,2))))")
+_CHARGED = f"({_DISC} * (1 + CAST(l_tax AS DECIMAL(4,2))))"
 
 ORACLES = {
     "agg_pricing_summary": f"""
@@ -231,8 +237,8 @@ ORACLES = {
             l_returnflag, l_linestatus,
             {dsum_sql("l_quantity")} AS sum_qty,
             {dsum_sql("l_extendedprice")} AS sum_base_price,
-            {dsum_sql(_DISC, 8, 30)} AS sum_disc_price,
-            {dsum_sql(_CHARGED, 8, 30)} AS sum_charge,
+            {dsum_sql(_DISC, 4, 30)} AS sum_disc_price,
+            {dsum_sql(_CHARGED, 6, 30)} AS sum_charge,
             {davg_sql("l_quantity")} AS avg_qty,
             {davg_sql("l_extendedprice")} AS avg_price,
             {davg_sql("l_discount", 4)} AS avg_disc,
@@ -248,7 +254,7 @@ ORACLES = {
     "top_customers_by_revenue": f"""
         WITH rev AS (
             SELECT o.o_custkey,
-                   {dsum_sql(_DISC, 8, 30)} AS revenue,
+                   {dsum_sql(_DISC, 4, 30)} AS revenue,
                    COUNT(DISTINCT o.o_orderkey) AS order_count
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_custkey
@@ -446,8 +452,9 @@ def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue per brand — covers the remaining fact⋈part join axis."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(30,8)")
+    disc = (F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))) \
+        .cast("decimal(30,4)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
@@ -465,8 +472,9 @@ ORACLES["part_brand_revenue"] = f"""
     SELECT p.p_brand AS brand,
            COUNT(*) AS n_lines,
            COUNT(DISTINCT p.p_partkey) AS n_parts,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
            {dsum_sql("l_quantity")} AS total_qty
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
