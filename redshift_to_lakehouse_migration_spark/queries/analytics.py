@@ -517,3 +517,35 @@ ORACLES["status_priority_cube"] = f"""
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY order_status, order_priority
 """
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic aggregates: exact interpolated percentiles per return flag
+    (Spark `percentile` ≡ ANSI `quantile_cont` bit-for-bit on doubles).
+    Exact percentile sorts within groups; at 100 TB switch to
+    `approx_percentile` (t-digest, mergeable) and bound the error instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(F.percentile("l_quantity", 0.5).alias("median_qty"),
+             F.percentile("l_extendedprice", 0.25).alias("price_q1"),
+             F.percentile("l_extendedprice", 0.75).alias("price_q3"),
+             F.percentile("l_extendedprice", 0.95).alias("price_p95"),
+             F.count("*").alias("n_lines"))
+        .orderBy("return_flag")
+    )
+
+
+QUERIES["price_percentiles"] = price_percentiles
+
+ORACLES["price_percentiles"] = """
+    SELECT l_returnflag AS return_flag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS price_q1,
+           quantile_cont(l_extendedprice, 0.75) AS price_q3,
+           quantile_cont(l_extendedprice, 0.95) AS price_p95,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY return_flag
+"""

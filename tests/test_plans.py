@@ -97,3 +97,23 @@ def test_partition_pruning_on_partitioned_fact(spark, tmp_path):
         or "state#" in scan  # formatted fallback
     files = q.select(F.input_file_name().alias("f")).distinct().collect()
     assert all("state=1" in r.f for r in files)
+
+
+def test_knn_probe_and_centroid_sides_broadcast(spark):
+    """The bounded side (probe set / centroid set) must broadcast so the
+    corpus side streams without a shuffle."""
+    for name in ("knn_bruteforce", "knn_ivf"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+
+
+def test_no_cartesian_in_scale_paths(spark):
+    """Every near-dup / ANN candidate join must be an equality join on a
+    band/bucket key — a CartesianProduct or nested-loop join here means
+    the operator went quadratic and would never survive 100 TB."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs",
+                 "dedup_ngram_jaccard", "dedup_embedding_cosine",
+                 "knn_lsh_bucketed"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
