@@ -123,30 +123,11 @@ def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],
         "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_key)")
 
 
-def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
-                      n_perm: int = 32, band_rows: int = 4,
-                      threshold: float = 0.5, k: int = 3,
-                      seed: int = 42, materialize: bool = False) -> DataFrame:
-    """Near-dup pairs: LSH candidates → exact-Jaccard verify on candidates.
-
-    ``materialize`` persists the shingle set and band keys, which the plan
-    reuses 3–4× (band self-join, sizes, shared-shingle verify). Measured at
-    sf0.1 recompute is faster (shingling is cheap, codegen'd), so the
-    default is off; flip it on a cluster when the input scan dominates — or
-    better, write signatures to a table once and join against that.
-    """
-    normed = (
-        docs.filter(F.col(text_col).isNotNull()
-                    & (F.length(F.trim(F.col(text_col))) > 0))
-        .select(F.col(id_col).alias("doc_id"),
-                norm_text(text_col).alias("norm"))
-    )
-    sh = shingles(normed, "doc_id", "norm", k=k)
-    if materialize:
-        sh = sh.persist()
-    bands = minhash_band_keys(sh, make_permutations(n_perm, seed), band_rows)
-    if materialize:
-        bands = bands.persist()
+def _lsh_candidate_verify(sh: DataFrame, bands: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Shared LSH tail: banded candidate self-join → exact-Jaccard verify
+    restricted to candidates. ``sh``: (doc_id, shingle); ``bands``:
+    (doc_id, band_id, band_key)."""
     cand = (
         bands.alias("x").join(
             bands.alias("y"),
@@ -182,10 +163,75 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _normed_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        docs.filter(F.col(text_col).isNotNull()
+                    & (F.length(F.trim(F.col(text_col))) > 0))
+        .select(F.col(id_col).alias("doc_id"),
+                norm_text(text_col).alias("norm"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
+                      n_perm: int = 32, band_rows: int = 4,
+                      threshold: float = 0.5, k: int = 3,
+                      seed: int = 42) -> DataFrame:
+    """Near-dup pairs, inline: shingle → band → candidates → verify in one
+    plan. The shingle subtree is recomputed by each consumer (cheap,
+    codegen'd — measured faster than persist at sf0.1). At cluster scale,
+    where the corpus re-scan dominates, use :func:`materialize_minhash` +
+    :func:`minhash_pairs_from_tables` instead — one corpus scan total."""
+    sh = shingles(_normed_docs(docs, id_col, text_col), "doc_id", "norm", k=k)
+    bands = minhash_band_keys(sh, make_permutations(n_perm, seed), band_rows)
+    return _lsh_candidate_verify(sh, bands, threshold)
+
+
+def materialize_minhash(docs: DataFrame, id_col: str, text_col: str,
+                        out_dir: str, n_perm: int = 32, band_rows: int = 4,
+                        k: int = 3, seed: int = 42) -> dict[str, str]:
+    """Scale path, step 1: scan the corpus ONCE, write the shingle set to
+    parquet, then derive band keys from the *written* shingles (no second
+    corpus scan) and write those too. At 100 TB this replaces the inline
+    path's 3–4 corpus re-scans with one scan + two small signature tables
+    that downstream dedup (and future incremental batches) join against.
+    Returns the table paths."""
+    spark = docs.sparkSession
+    sh_path = f"{out_dir}/minhash_shingles"
+    band_path = f"{out_dir}/minhash_bands"
+    sh = shingles(_normed_docs(docs, id_col, text_col), "doc_id", "norm", k=k)
+    sh.write.mode("overwrite").parquet(sh_path)
+    sh_t = spark.read.parquet(sh_path)
+    bands = minhash_band_keys(sh_t, make_permutations(n_perm, seed),
+                              band_rows)
+    bands.write.mode("overwrite").parquet(band_path)
+    return {"shingles": sh_path, "bands": band_path}
+
+
+def minhash_pairs_from_tables(spark, paths: dict[str, str],
+                              threshold: float = 0.5) -> DataFrame:
+    """Scale path, step 2: near-dup pairs from materialized signature
+    tables — identical pair set to :func:`minhash_lsh_pairs` (asserted in
+    test_dedup.py), but every consumer reads the compact parquet tables
+    instead of re-shingling the corpus."""
+    sh = spark.read.parquet(paths["shingles"])
+    bands = spark.read.parquet(paths["bands"])
+    return _lsh_candidate_verify(sh, bands, threshold)
+
+
 def simhash_signatures(docs: DataFrame, id_col: str,
                        text_col: str) -> DataFrame:
-    """60-bit SimHash per document via token-frequency bit voting, plus
-    15-bit band keys for hamming-neighbor blocking."""
+    """60-bit SimHash per document via token bit voting, plus 15-bit band
+    keys for hamming-neighbor blocking.
+
+    Votes are computed as ONE wide aggregate (60 sum columns, the same
+    shape as the MinHash wide min-agg): per token occurrence, bit i of the
+    token hash contributes +1/−1 to vote i. Frequency weighting is implicit
+    — summing ±1 per occurrence equals summing w·(±1) per distinct token —
+    so there is no (doc, token) pre-aggregation and, critically, no
+    60-rows-per-token explode (round 1's top dedup cost driver). Exactly
+    one shuffle (partial+final hash agg on doc_id); signatures are
+    bit-identical to the exploding formulation (test_dedup.py asserts so).
+    """
     normed = (
         docs.filter(F.col(text_col).isNotNull()
                     & (F.length(F.trim(F.col(text_col))) > 0))
@@ -194,22 +240,19 @@ def simhash_signatures(docs: DataFrame, id_col: str,
     )
     toks = (
         normed.select("doc_id", F.explode(F.split("norm", " ")).alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                  .cast("long"))
     )
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    bits = (
-        toks.withColumn("h", h)
-        .select("doc_id", "w",
-                F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i"), "h")
-        .withColumn("bit", F.expr("shiftright(h, i) & 1"))
-        .groupBy("doc_id", "i")
-        .agg(F.sum(F.col("w") * (F.col("bit") * 2 - 1)).alias("vote"))
-    )
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"(CAST(shiftright(h, {i}) & 1 AS INT) * 2 - 1)"))
+        .alias(f"v{i}") for i in range(60)
+    ])
+    sig = F.expr(" + ".join(
+        f"IF(v{i} > 0, shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
+        for i in range(60)))
     return (
-        bits.groupBy("doc_id")
-        .agg(F.sum(F.expr(
-            "CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
-            "ELSE 0 END")).alias("simhash"))
+        votes.select("doc_id", sig.alias("simhash"))
         .select("doc_id", "simhash",
                 (F.col("simhash") % 32768).alias("band_0"),
                 (F.shiftright("simhash", 15) % 32768).alias("band_1"),

@@ -253,15 +253,18 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     n_chars = F.length(text)
     n_tokens = F.size(F.split(F.trim(text), r"\s+"))
-    punct_ratio = (F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-                   / n_chars)
-    stop_ratio = F.regexp_count(F.lower(text), F.lit(_STOP_RE)) / n_tokens
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
+    # threshold gates in integer arithmetic so borderline docs can never
+    # flip between engines (float ratio comparisons hash-mismatched the
+    # driver oracle in round 1): punct_ratio < 0.2  ⇔  n_punct*5 < n_chars;
+    # stop_ratio ∈ [0.01, 0.6]  ⇔  n_stop*100 >= n_tokens ∧ n_stop*10 <= n_tokens*6
     gated = (
         d.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
         .select("doc_id", "lang", F.md5(norm).alias("content_hash"),
                 n_tokens.cast("long").alias("n_tokens"))
-        .filter((n_tokens >= 5) & (punct_ratio < 0.2)
-                & stop_ratio.between(0.01, 0.6))
+        .filter((n_tokens >= 5) & (n_punct * 5 < n_chars)
+                & (n_stop * 100 >= n_tokens) & (n_stop * 10 <= n_tokens * 6))
     )
     keepers = (
         gated.groupBy("content_hash")
@@ -291,11 +294,12 @@ ORACLES["corpus_prep"] = f"""
         FROM documents
         WHERE text IS NOT NULL AND length(trim(text)) > 0
           AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
-          AND length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-              / length(text) < 0.2
-          AND len(regexp_extract_all(lower(text), '{_STOP_RE}'))
-              / len(regexp_split_to_array(trim(text), '\\s+'))
-              BETWEEN 0.01 AND 0.6
+          AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 5
+              < length(text)
+          AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 100
+              >= len(regexp_split_to_array(trim(text), '\\s+'))
+          AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 10
+              <= len(regexp_split_to_array(trim(text), '\\s+')) * 6
     ), keepers AS (
         SELECT content_hash, MIN(doc_id) AS doc_id,
                COUNT(*) AS dup_count

