@@ -31,21 +31,35 @@ def compact_parquet(spark: SparkSession, path: str,
 
     df = spark.read.parquet(path)
     total_bytes = 0
+    missing = 0
     for f in df.inputFiles():
         local = f.removeprefix("file:")
         if os.path.exists(local):
             total_bytes += os.path.getsize(local)
+        else:
+            missing += 1
+    if missing:
+        # non-local URIs (s3://, hdfs://) can't be stat'd here; falling
+        # back to 0 bytes would silently collapse the rewrite to one file
+        raise ValueError(
+            f"compact_parquet: {missing} input files are not local — "
+            f"size-based planning needs a filesystem-appropriate estimator")
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
     writer = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    # atomic-ish swap (same filesystem)
+    # swap with crash-restore: if the second move fails, put the original
+    # back so a dataset always exists at `path`
     import shutil
     back = path.rstrip("/") + "__old"
     shutil.move(path, back)
-    shutil.move(tmp, path)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        shutil.move(back, path)
+        raise
     shutil.rmtree(back)
     return n_files
 

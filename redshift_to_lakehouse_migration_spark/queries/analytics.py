@@ -538,6 +538,37 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["price_percentiles"] = price_percentiles
 
+
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for `price_percentiles`: `approx_percentile` (a mergeable
+    quantile sketch — partial aggregation per partition, merge at the
+    reducer) instead of the exact holistic `percentile`, which buffers and
+    sorts every group value and cannot map-side combine. At 100 TB the
+    exact form is a scale-killer; the sketch is one ordinary two-stage
+    aggregate. accuracy=10000 bounds rank error at 1/10000 of the group;
+    `tests/test_queries_oracle.py` bounds the value error vs the exact twin
+    (reference tolerance pattern:
+    `migration_validation/reconciliation.py:58-92`). Rows-only driver
+    check: sketch outputs are engine-specific, so no DuckDB oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(F.approx_percentile("l_quantity", F.lit(0.5), acc)
+             .alias("median_qty"),
+             F.approx_percentile("l_extendedprice", F.lit(0.25), acc)
+             .alias("price_q1"),
+             F.approx_percentile("l_extendedprice", F.lit(0.75), acc)
+             .alias("price_q3"),
+             F.approx_percentile("l_extendedprice", F.lit(0.95), acc)
+             .alias("price_p95"),
+             F.count("*").alias("n_lines"))
+        .orderBy("return_flag")
+    )
+
+
+QUERIES["price_percentiles_approx"] = price_percentiles_approx
+
 ORACLES["price_percentiles"] = """
     SELECT l_returnflag AS return_flag,
            quantile_cont(l_quantity, 0.5) AS median_qty,

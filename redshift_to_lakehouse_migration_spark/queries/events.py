@@ -263,16 +263,20 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward): each click event enriched with the user's
     most recent prior-or-simultaneous purchase — the point-in-time
     enrichment operator (union-window form, one shuffle; see asof.py).
-    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ``tie_break=event_id`` makes the carried payload deterministic when a
+    user has two purchases at the identical timestamp (greatest event_id
+    wins), mirrored in the oracle's window ordering — without it the
+    result would depend on partitioning."""
     from ..asof import asof_join
     e = load(spark, sf_dir, "events")
     clicks = (e.filter(F.col("event_type") == "click")
               .select("event_id", "ts", "user_id",
                       F.col("value").alias("click_value")))
     purchases = (e.filter(F.col("event_type") == "purchase")
-                 .select("user_id", "ts", "value"))
+                 .select("user_id", "ts", "value",
+                         F.col("event_id").alias("purchase_id")))
     out = asof_join(clicks, purchases, by=["user_id"], ts_col="ts",
-                    tie_break=None, prefix="p_")
+                    tie_break="purchase_id", prefix="p_")
     return out.select(
         "event_id", "ts", "user_id", "click_value",
         F.col("p_ts").alias("last_purchase_ts"),
@@ -282,12 +286,24 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_asof_purchase"] = events_asof_purchase
 
+# window-form oracle (not DuckDB's native ASOF, which has no tie-break):
+# greatest (ts, event_id) purchase at-or-before each click, NULLs kept for
+# clicks with no prior purchase via the LEFT JOIN + rn=1
 ORACLES["events_asof_purchase"] = """
-    SELECT c.event_id, c.ts, c.user_id, c.value AS click_value,
-           p.ts AS last_purchase_ts, p.value AS last_purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id AND p.ts <= c.ts
+    SELECT event_id, ts, user_id, click_value,
+           last_purchase_ts, last_purchase_value
+    FROM (
+        SELECT c.event_id, c.ts, c.user_id, c.value AS click_value,
+               p.ts AS last_purchase_ts, p.value AS last_purchase_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY p.ts DESC NULLS LAST, p.event_id DESC
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    )
+    WHERE rn = 1
 """
 
 

@@ -7,8 +7,10 @@ changed, insert the new version). This module provides:
 - ``scd2_merge``: the pure-Spark equivalent — changed-row detection join →
   close-old ∪ keep-unchanged ∪ insert-new, returned as a new DataFrame the
   caller overwrites with. Works on plain parquet; no Delta required.
-- ``scd2_merge_delta``: the Delta ``MERGE`` path when delta-spark is
-  importable (API parity with the reference).
+  (On a Delta deployment the same semantics map 1:1 onto
+  ``DeltaTable.merge`` exactly as the reference writes it; this repo ships
+  only the executable pure-Spark path — delta-spark is not available in
+  the test environment, and untestable code stays out of the tree.)
 - ``scd2_from_history``: rebuild a full version history from an event log
   with window functions (the standard Spark expression the reference lacks,
   SURVEY §2.5).
@@ -109,31 +111,6 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
         .unionByName(closed)
         .unionByName(inserts.select(*history.columns))
     )
-
-
-def scd2_merge_delta(spark, target_table: str, updates: DataFrame,
-                     key_cols: list[str], tracked_cols: list[str],
-                     as_of: str) -> bool:
-    """Delta MERGE path (reference parity, `gold/dim_policy.py:129-146`).
-    Returns False when delta-spark is unavailable — callers fall back to
-    :func:`scd2_merge` + overwrite."""
-    try:
-        from delta.tables import DeltaTable  # optional dependency
-    except ImportError:
-        return False
-    tgt = DeltaTable.forName(spark, target_table)
-    cond = " AND ".join(
-        [f"t.{k} = s.{k}" for k in key_cols] + ["t.is_current = true"])
-    changed = " OR ".join(
-        f"NOT (t.{c} <=> s.{c})" for c in tracked_cols)
-    (tgt.alias("t")
-        .merge(updates.alias("s"), cond)
-        .whenMatchedUpdate(
-            condition=changed,
-            set={"is_current": "false",
-                 "effective_end_date": f"DATE '{as_of}'"})
-        .execute())
-    return True
 
 
 def scd2_from_history(events: DataFrame, key_cols: list[str],

@@ -91,12 +91,29 @@ def salted_groupby(df: DataFrame, keys: list[str], n_salts: int,
     return stage1.groupBy(*keys).agg(*final_cols)
 
 
+_SALT_SAFE_JOINS = {"inner", "left", "left_outer", "leftouter",
+                    "left_semi", "leftsemi", "semi",
+                    "left_anti", "leftanti", "anti"}
+
+
 def salted_join(large: DataFrame, small: DataFrame, on: list[str],
                 n_salts: int, how: str = "inner") -> DataFrame:
     """Skew-safe equi-join: salt the large side, explode the small side
     once per salt value, join on (keys, salt). The small side grows
     ``n_salts``× — use only when it is too big to broadcast but far
-    smaller than the large side."""
+    smaller than the large side.
+
+    Only large-side-preserving joins are allowed: each large row carries
+    exactly one salt, but small rows are replicated per salt, so a
+    right/full outer join would emit every unmatched small row
+    ``n_salts`` times. Raises ValueError for those."""
+    if how.lower().replace("_", "") not in {
+            h.replace("_", "") for h in _SALT_SAFE_JOINS}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side is "
+            f"replicated {n_salts}x, so right/full outer joins would "
+            f"duplicate unmatched small-side rows (use a direct join or "
+            f"AQE skew handling instead)")
     # salt from ALL columns, not the join keys: rows sharing a hot key must
     # scatter across salts (keys-only hashing would re-collapse them)
     salted_large = add_salt(large, n_salts, salt_from=None)

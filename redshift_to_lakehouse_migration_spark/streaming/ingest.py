@@ -4,9 +4,20 @@ OSS twin of the reference's Auto Loader bronze path
 (`bronze/ingest_policies.py:100-130`): Structured Streaming file source with
 explicit schema, exactly-once via checkpoint, one-shot
 ``trigger(availableNow=True)`` batch-over-stream, append output mode, and
-the same lineage metadata columns as the batch path. Schema evolution is
-restart-on-change in OSS (the `addNewColumns` mode is Databricks-only,
-SURVEY §2.9 ST2).
+the same lineage metadata columns as the batch path.
+
+Schema evolution (ST2): the reference uses Auto Loader's
+``schemaEvolutionMode=addNewColumns`` (`bronze/ingest_policies.py:115`),
+which is Databricks-only. The OSS equivalent implemented here is
+restart-on-schema-change: when the landing files gain a column, call
+:func:`ingest_stream` again with the widened schema and the SAME
+checkpoint — the file-source checkpoint only tracks which files were
+processed, so the restart picks up exactly the unprocessed files and
+writes them with the new schema. The target then holds parquet files of
+both schemas; :func:`read_ingested` reconciles them with ``mergeSchema``
+(old rows surface NULL for the added columns, the same result
+addNewColumns produces). Exercised end-to-end in
+`tests/test_streaming.py::test_ingest_schema_evolution_restart`.
 """
 
 from __future__ import annotations
@@ -46,3 +57,11 @@ def ingest_stream(spark: SparkSession, source_dir: str,
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def read_ingested(spark: SparkSession, target_path: str):
+    """Read an ingest target that may span schema versions (see module
+    docstring): ``mergeSchema`` unions the per-file schemas; rows written
+    before a column existed read as NULL for it — the OSS analog of Auto
+    Loader's addNewColumns result."""
+    return spark.read.option("mergeSchema", "true").parquet(target_path)

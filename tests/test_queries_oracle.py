@@ -71,6 +71,29 @@ def test_query_matches_oracle(name, spark, oracle_con):
     assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
 
 
+def test_approx_percentiles_bounded(spark):
+    """The approx_percentile scale path (no oracle) must land within 1%
+    relative error of the exact-percentile twin on every group and
+    quantile — the reference's reconciliation-tolerance pattern
+    (`migration_validation/reconciliation.py:58-92`)."""
+    from redshift_to_lakehouse_migration_spark.queries.analytics import (
+        price_percentiles,
+        price_percentiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.return_flag: r for r in price_percentiles(spark, sf).collect()}
+    approx = {r.return_flag: r
+              for r in price_percentiles_approx(spark, sf).collect()}
+    assert set(exact) == set(approx) and len(exact) > 0
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a.n_lines == e.n_lines
+        for col in ("median_qty", "price_q1", "price_q3", "price_p95"):
+            ev, av = getattr(e, col), getattr(a, col)
+            assert abs(av - ev) <= 0.01 * abs(ev), (flag, col, ev, av)
+
+
 def test_hll_estimates_bounded(spark):
     """HLL sketch estimates (no oracle) must land within 5% of the exact
     distinct count, and the merged-month sketch must equal the estimate

@@ -45,6 +45,36 @@ def test_ingest_stream_exactly_once(spark, tmp_path):
     assert {"_ingestion_timestamp", "_source_file"} <= set(df.columns)
 
 
+def test_ingest_schema_evolution_restart(spark, tmp_path):
+    """ST2: landing CSVs gain a column mid-stream → restarting the ingest
+    with the widened schema and the SAME checkpoint processes exactly the
+    new files; mergeSchema read surfaces the new column with NULLs for
+    pre-evolution rows (the Auto Loader addNewColumns result, OSS form)."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "batch1.csv").write_text(
+        "id,name\n1,alice\n2,bob\n")
+    target = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+
+    v1 = "id long, name string"
+    ingest.ingest_stream(spark, str(land), v1, target, ckpt)
+    assert spark.read.parquet(target).count() == 2
+
+    # schema change lands: a third column appears in new files
+    (land / "batch2.csv").write_text(
+        "id,name,tier\n3,carol,gold\n")
+    v2 = "id long, name string, tier string"
+    ingest.ingest_stream(spark, str(land), v2, target, ckpt)
+
+    df = ingest.read_ingested(spark, target)
+    assert df.count() == 3                      # no reprocessing of batch1
+    assert "tier" in df.columns
+    rows = {r.id: r.tier for r in df.collect()}
+    assert rows[3] == "gold"
+    assert rows[1] is None and rows[2] is None  # pre-evolution rows → NULL
+
+
 def test_windowed_aggs_streaming_vs_batch(spark, tmp_path):
     """The same windowed expression over a file stream must equal the batch
     result — Structured Streaming's unified-semantics contract."""
