@@ -18,20 +18,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     analytics,
+    curation,
     dims,
     events,
     facts,
+    governance,
     llm_dedup,
     llm_similarity,
     llm_text,
     multimodal,
+    sampling,
     staging,
+    tpch,
     windows,
 )
 
 _MODULES = (
-    staging, facts, dims, analytics, windows, events,
-    llm_text, llm_dedup, llm_similarity, multimodal,
+    staging, facts, dims, analytics, tpch, windows, events, governance,
+    llm_text, llm_dedup, llm_similarity, multimodal, sampling, curation,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1,0 +1,119 @@
+"""Corpus curation: benchmark-contamination detection.
+
+Before training, every serious LLM data pipeline checks the corpus against
+held-out evaluation sets: a document sharing word n-grams with a benchmark
+document must be flagged (and usually dropped). This module implements the
+standard n-gram-overlap decontamination check as a pure DataFrame plan.
+
+Scale shape: the benchmark side is small by construction (eval sets are
+thousands of docs, the corpus is billions), so the gram join broadcasts the
+benchmark grams — corpus-side work is one scan + explode + map-side join +
+one hash aggregate keyed by doc_id. No corpus×corpus pair ever forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# Word n-gram width for the contamination check (13 is the published
+# GPT-3/PaLM convention; 5 keeps overlap observable on the tiny test corpus).
+NGRAM_N = 5
+
+# Synthetic benchmark membership: every 97th document stands in for the
+# held-out eval set (deterministic, engine-portable).
+BENCH_MOD = 97
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word NGRAM_N-grams per document over normalized text.
+
+    array_distinct runs per-row before the explode, so the shuffle carries
+    each (doc, gram) once — dedup without a groupBy.
+    """
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+    )
+    return (
+        d.filter(F.size(toks) >= NGRAM_N)
+        .select("doc_id", "lang",
+                F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document benchmark contamination: distinct grams, grams shared
+    with the benchmark set, and the contaminated flag. Benchmark grams
+    broadcast; corpus side is scan → explode → broadcast semi-ish join →
+    one aggregate."""
+    grams = _doc_grams(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_grams = grams.filter(is_bench).select("gram").distinct()
+    corpus = grams.filter(~is_bench)
+    hits = (
+        corpus.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    totals = corpus.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_grams"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "n_grams",
+            F.coalesce(F.col("shared_grams"), F.lit(0).cast("long"))
+            .alias("shared_grams"),
+            (F.coalesce(F.col("shared_grams"), F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {"contamination_check": contamination_check}
+
+_GRAMS = f"""
+    SELECT doc_id, lang,
+           unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - {NGRAM_N - 1}),
+               i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' ')))) AS gram
+    FROM (
+        SELECT doc_id, lang,
+               string_split(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    )
+    WHERE len(t) >= {NGRAM_N}
+"""
+
+ORACLES = {
+    "contamination_check": f"""
+        WITH grams AS ({_GRAMS}),
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        corpus AS (
+            SELECT * FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+        ),
+        hits AS (
+            SELECT c.doc_id, COUNT(*) AS shared_grams
+            FROM corpus c JOIN bench b ON c.gram = b.gram
+            GROUP BY c.doc_id
+        ),
+        totals AS (
+            SELECT doc_id, lang, COUNT(*) AS n_grams
+            FROM corpus GROUP BY doc_id, lang
+        )
+        SELECT t.doc_id, t.lang, t.n_grams,
+               COALESCE(h.shared_grams, 0) AS shared_grams,
+               COALESCE(h.shared_grams, 0) > 0 AS contaminated
+        FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        ORDER BY t.doc_id
+    """,
+}

@@ -1,0 +1,211 @@
+"""Training-data sampling, mixing, and sequence packing.
+
+The operations a large-scale LLM data pipeline runs between curation and
+tokenization: deterministic stratified sampling (per-language rates),
+fixed-size per-stratum samples, dataset mixing with integer weights, and
+contiguous sequence packing into fixed token budgets (the concat-and-chunk
+step that turns documents into training rows).
+
+Determinism contract: sampling decisions hash the row key through md5 and
+compare the hex prefix lexicographically — engine-portable (Spark and
+DuckDB emit identical lowercase-hex md5) and reproducible under any
+partitioning, unlike ``rand()``/``TABLESAMPLE``. Scale notes per query;
+none shuffles more than once per aggregate, none collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# Per-language keep rates as hex-prefix ceilings: keep iff the first two
+# md5 hex chars of the doc key sort below the ceiling. '33' = 51/256 ≈ 20%
+# (downsample the majority language), '80' = 128/256 = 50% (upsample the
+# rest) — the up/down-sampling shape of a training-mix spec.
+STRATUM_CEILING = {"en": "33"}
+DEFAULT_CEILING = "80"
+
+# Fixed context-window token budget for sequence packing.
+PACK_BUDGET = 512
+
+
+def _doc_bucket() -> F.Column:
+    """Deterministic 2-hex-char bucket for a document (uniform over 256)."""
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified document sample: per-language keep rates
+    via md5-prefix thresholding. Pure map-side filter — no shuffle, no
+    rand(); the same rows are kept on 1 executor or 1000."""
+    d = load(spark, sf_dir, "documents")
+    ceiling = F.when(F.col("lang") == "en", F.lit(STRATUM_CEILING["en"])) \
+        .otherwise(F.lit(DEFAULT_CEILING))
+    return (
+        d.select("doc_id", "lang", "source", "n_chars",
+                 _doc_bucket().alias("bucket"), ceiling.alias("ceiling"))
+        .filter(F.col("bucket") < F.col("ceiling"))
+        .orderBy("doc_id")
+    )
+
+
+def sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: the 5 lowest-hashed docs per
+    (lang, source) — a deterministic reservoir. One shuffle on the stratum
+    key; row_number is rank-k per group, so each group's state is bounded."""
+    d = load(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")))
+    return (
+        d.select("doc_id", "lang", "source",
+                 F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+        .orderBy("lang", "source", "sample_rank")
+    )
+
+
+def mix_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: integer upweights per source bucket, effective token
+    counts, and each source's share of the mixed corpus in basis points.
+    Integer weights keep every sum exact (BIGINT) so the mix shares are
+    bit-identical across engines; the share itself is one integer division
+    per row. Plan: one hash aggregate + broadcast of the one-row total."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    # curated/high-quality buckets get 3x epochs, the rest 1x
+    weight = F.when(F.col("source").isin("src1", "src2", "src3"), F.lit(3)) \
+        .otherwise(F.lit(1))
+    per_source = (
+        d.select("source", weight.alias("weight"), n_tokens.alias("n_tokens"))
+        .groupBy("source", "weight")
+        .agg(F.count("*").alias("docs"),
+             F.sum("n_tokens").alias("tokens"))
+        .withColumn("effective_tokens", F.col("weight") * F.col("tokens"))
+    )
+    total = per_source.agg(
+        F.sum("effective_tokens").alias("total_effective"))
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source", "weight", "docs", "tokens", "effective_tokens",
+            # integer division on BOTH engines (Spark div / DuckDB //):
+            # double division + cast rounds differently across engines
+            F.expr("effective_tokens * 10000 div total_effective")
+            .alias("mix_share_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing (concat-and-chunk): documents are laid
+    end-to-end per language in doc_id order and cut into PACK_BUDGET-token
+    bins; a doc's bin is its starting offset div the budget. Per-bin stats
+    (docs, tokens, fill) drive the padding-waste metric training teams
+    watch. One window (partitioned by lang — bounded state, streaming
+    frame) + one hash aggregate; at 100 TB the window key would gain a
+    shard component (lang, file_group) to bound partition size."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    binned = toks.select(
+        "lang", "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+         .cast("long")).alias("start_offset"),
+    ).select(
+        "lang", "n_tokens",
+        F.expr(f"start_offset div {PACK_BUDGET}").alias("bin_id"),
+    )
+    return (
+        binned.groupBy("lang", "bin_id")
+        .agg(F.count("*").alias("docs_in_bin"),
+             F.sum("n_tokens").alias("bin_tokens"))
+        .withColumn("fill_bps",
+                    F.expr(f"bin_tokens * 10000 div {PACK_BUDGET}"))
+        .orderBy("lang", "bin_id")
+    )
+
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "sample_per_stratum": sample_per_stratum,
+    "mix_datasets": mix_datasets,
+    "pack_sequences": pack_sequences,
+}
+
+ORACLES = {
+    "sample_stratified": f"""
+        SELECT doc_id, lang, source, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               CASE WHEN lang = 'en' THEN '{STRATUM_CEILING["en"]}'
+                    ELSE '{DEFAULT_CEILING}' END AS ceiling
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < CASE WHEN lang = 'en' THEN '{STRATUM_CEILING["en"]}'
+                     ELSE '{DEFAULT_CEILING}' END
+        ORDER BY doc_id
+    """,
+    "sample_per_stratum": """
+        SELECT doc_id, lang, source, sample_rank
+        FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        WHERE sample_rank <= 5
+        ORDER BY lang, source, sample_rank
+    """,
+    "mix_datasets": """
+        WITH per_source AS (
+            SELECT source,
+                   CASE WHEN source IN ('src1','src2','src3') THEN 3
+                        ELSE 1 END AS weight,
+                   COUNT(*) AS docs,
+                   SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS BIGINT)) AS tokens
+            FROM documents
+            GROUP BY 1, 2
+        ),
+        weighted AS (
+            SELECT *, weight * tokens AS effective_tokens FROM per_source
+        ),
+        total AS (
+            SELECT SUM(effective_tokens) AS total_effective FROM weighted
+        )
+        SELECT source, weight, docs, tokens, effective_tokens,
+               effective_tokens * 10000 // total_effective AS mix_share_bps
+        FROM weighted, total
+        ORDER BY source
+    """,
+    "pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW
+                        ) - n_tokens AS BIGINT) // {PACK_BUDGET} AS bin_id
+            FROM toks
+        )
+        SELECT lang, bin_id,
+               COUNT(*) AS docs_in_bin,
+               SUM(n_tokens) AS bin_tokens,
+               SUM(n_tokens) * 10000 // {PACK_BUDGET} AS fill_bps
+        FROM binned
+        GROUP BY lang, bin_id
+        ORDER BY lang, bin_id
+    """,
+}

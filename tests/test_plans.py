@@ -107,6 +107,37 @@ def test_knn_probe_and_centroid_sides_broadcast(spark):
         assert "BroadcastExchange" in plan, name
 
 
+def test_tpch_join_pipelines_broadcast_dimensions(spark):
+    """Q5's five-way join: every dimension side (region/nation/customer/
+    supplier) broadcasts, so the lineitem stream shuffles only for the
+    final nation aggregate."""
+    plan = _plan(spark, "q5_region_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_selective_filters_pushed(spark):
+    """Q10's returnflag and order-date predicates must reach the scans."""
+    plan = _formatted(spark, "q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "o_orderdate" in plan and "PushedFilters:" in plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The benchmark gram set is dim-sized by construction; the corpus
+    side must stream against a broadcast, never a shuffled join."""
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_side_only(spark):
+    """Deterministic md5-prefix sampling is a pure filter: no hash
+    exchange may appear (the only exchange is the output sort)."""
+    plan = _plan(spark, "sample_stratified")
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_no_cartesian_in_scale_paths(spark):
     """Every near-dup / ANN candidate join must be an equality join on a
     band/bucket key — a CartesianProduct or nested-loop join here means
