@@ -133,6 +133,33 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means IVF centroid training (2 Lloyd iterations from the
+    deterministic vec_id%64 seed set), reporting per-cluster membership and
+    cohesion. Iterative — no SQL oracle (rows-only per driver contract);
+    objective monotonicity is asserted in tests/test_kmeans.py."""
+    from ..llm import kmeans as km
+    e = load(spark, sf_dir, "embeddings")
+    corpus = km.normalize_corpus(e, "vec_id", "embedding")
+    init = corpus.filter(F.col("vec_id") % 64 == 0) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    trained = km.kmeans_fit(corpus, init, iters=2)
+    assigned = sim.ivf_assign(corpus, trained, "vec_id", "embedding",
+                              "centroid_id", "embedding", nprobe=1)
+    c = trained.select("centroid_id", F.col("embedding").alias("__c_emb"))
+    cos = F.round(F.aggregate(
+        F.zip_with("embedding", "__c_emb", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    return (
+        assigned.join(F.broadcast(c), "centroid_id")
+        .select("centroid_id", "vec_id", cos.alias("cos_sim"))
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("cluster_size"),
+             F.round(F.avg("cos_sim"), 4).alias("avg_cohesion"))
+        .orderBy("centroid_id")
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -140,6 +167,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_stats": embedding_stats,
+    "kmeans_clusters": kmeans_clusters,
 }
 
 _SIM = (f"round({_dot_sql('q.q_emb', 'e.embedding')} / "
