@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, spread
 
 # Word n-gram width for the contamination check (13 is the published
 # GPT-3/PaLM convention; 5 keeps overlap observable on the tiny test corpus).
@@ -27,13 +27,10 @@ NGRAM_N = 5
 BENCH_MOD = 97
 
 
-def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word NGRAM_N-grams per document over normalized text.
-
-    array_distinct runs per-row before the explode, so the shuffle carries
-    each (doc, gram) once — dedup without a groupBy.
-    """
-    d = load(spark, sf_dir, "documents")
+def _gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document array of distinct word NGRAM_N-grams (map-side only:
+    normalize → split → sliding window → array_distinct, no explode)."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = F.split(norm, " ")
     grams = F.transform(
@@ -42,27 +39,33 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.filter(F.size(toks) >= NGRAM_N)
-        .select("doc_id", "lang",
-                F.explode(F.array_distinct(grams)).alias("gram"))
+        .select("doc_id", "lang", F.array_distinct(grams).alias("grams"))
     )
 
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document benchmark contamination: distinct grams, grams shared
-    with the benchmark set, and the contaminated flag. Benchmark grams
-    broadcast; corpus side is scan → explode → broadcast semi-ish join →
-    one aggregate."""
-    grams = _doc_grams(spark, sf_dir)
+    with the benchmark set, and the contaminated flag.
+
+    Plan shape: per-doc gram totals are ``size(grams)`` — computed map-side
+    with NO explode or shuffle; the only exploded path is the corpus→
+    benchmark gram join (benchmark side broadcast — eval sets are tiny
+    next to the corpus), aggregated once by doc_id. The corpus text is
+    scanned twice (totals + hits), which at 100 TB beats shuffling an
+    exploded gram stream three times."""
+    base = _gram_arrays(spark, sf_dir)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    bench_grams = grams.filter(is_bench).select("gram").distinct()
-    corpus = grams.filter(~is_bench)
+    bench_grams = (base.filter(is_bench)
+                   .select(F.explode("grams").alias("gram")).distinct())
+    corpus = base.filter(~is_bench)
     hits = (
-        corpus.join(F.broadcast(bench_grams), "gram")
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_grams"))
     )
-    totals = corpus.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n_grams"))
+    totals = corpus.select(
+        "doc_id", "lang", F.size("grams").cast("long").alias("n_grams"))
     return (
         totals.join(hits, "doc_id", "left")
         .select(

@@ -14,11 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup as D
-from ..tables import load
+from ..tables import load, spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents")
+    # shingling/signature construction is CPU-bound per row: make sure the
+    # scan doesn't serialize it onto one core (no-op at cluster scale)
+    return spread(load(spark, sf_dir, "documents"), spark)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql
 from ..llm import similarity as sim
-from ..tables import load
+from ..tables import load, spread
 
 _DIM = 64
 _N_PLANES = 8
@@ -64,7 +64,7 @@ def _bucket_sql(emb: str) -> str:
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for probe vectors (vec_id % 50 = 0)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     probes = e.filter(F.col("vec_id") % 50 == 0)
     topk = sim.cosine_topk(e, probes, "vec_id", "embedding", k=5)
     labels = e.select(F.col("vec_id").alias("neighbor_id"),
@@ -75,7 +75,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket assignment (8 fixed hyperplanes → 256 buckets)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     return e.select(
         "vec_id", "label",
         _bucket_col(F.col("embedding")).alias("bucket_id"),
@@ -85,7 +85,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 within LSH buckets: bucket-equality join (never quadratic),
     exact cosine re-rank inside each bucket."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     assigned = sim.lsh_assign(e, "vec_id", "embedding", PROJECTIONS)
     return sim.topk_within_buckets(assigned, k=3)
 
@@ -94,7 +94,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: deterministic coarse centroids (vec_id % 64 = 0, ~sqrt(N) lists),
     nearest-centroid inverted lists, multi-probe (nprobe=2) search with
     exact cosine re-rank confined to the probed lists."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     centroids = e.filter(F.col("vec_id") % 64 == 0)
     lists = sim.ivf_assign(e, centroids, "vec_id", "embedding",
                            "vec_id", "embedding", nprobe=1)
@@ -113,14 +113,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — the scale path for semantic dedup: bucket-equality join,
     never a global cross join. Threshold 0.35 is tuned to the synthetic
     corpus (max pairwise cosine ≈ 0.51); real embedding spaces use ~0.9."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     assigned = sim.lsh_assign(e, "vec_id", "embedding", PROJECTIONS)
     return sim.cosine_near_pairs(assigned, threshold=0.35)
 
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics with decimal-exact averages."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     n = _norm(F.col("embedding"))
     return (
         e.select("vec_id", "label", n.alias("norm"))
@@ -139,7 +139,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohesion. Iterative — no SQL oracle (rows-only per driver contract);
     objective monotonicity is asserted in tests/test_kmeans.py."""
     from ..llm import kmeans as km
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     corpus = km.normalize_corpus(e, "vec_id", "embedding")
     init = corpus.filter(F.col("vec_id") % 64 == 0) \
         .select(F.col("vec_id").alias("centroid_id"), "embedding")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, spread
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 _STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
@@ -31,7 +31,7 @@ LANG_MARKERS = {
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: token count, char ratios, stopword
     ratio, and a composite quality score."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     text = F.col("text")
     n_chars = F.length(text)
     n_tokens = F.size(F.split(F.trim(text), r"\s+"))
@@ -64,7 +64,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: score each language vocabulary per document,
     argmax with deterministic tie-break; compare against the lang label."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     low = F.lower(F.col("text"))
     scores = {k: F.regexp_count(low, F.lit(pat))
               for k, pat in LANG_MARKERS.items()}
@@ -85,7 +85,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: md5 of whitespace-normalized
     lowercase text, plus prefix/suffix block hashes (cheap near-dup signal)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return d.select(
         F.col("doc_id"),
@@ -106,7 +106,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs a BPE-ish regex (letter runs / digits / punctuation), plus the
     fertility ratio used to budget LLM training tokens. Pure regexp
     expressions — codegen'd, shuffle-free, linear at 100 TB."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     text = F.col("text")
     n_ws = F.size(F.split(F.trim(text), r"\s+")).cast("long")
     n_bpe = F.regexp_count(text, F.lit(_BPE_RE)).cast("long")
@@ -127,7 +127,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency: explode → groupBy → top 100 with deterministic
     tie-break. At 100 TB this is the canonical two-stage (partial + final)
     hash aggregate; no other shuffle."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     return (
         d.filter(F.col("text").isNotNull()
@@ -248,7 +248,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats. The canonical LLM-data funnel, composed from the same
     expressions the individual queries verify — one scan, one groupBy for
     the dedup, one for the stats; linear at 100 TB."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     text = F.col("text")
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     n_chars = F.length(text)

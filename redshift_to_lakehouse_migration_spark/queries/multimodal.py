@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, spread
 
 CHUNK_BYTES = 256
 FRAME_STRIDE = 100
@@ -74,7 +74,7 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]
 def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode over mapInPandas (vectorized Python path).
     Deterministic stub arithmetic → fully oracle-checked."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     src = (
         d.filter(F.col("text").isNotNull())
         .select("doc_id", "source",

@@ -40,6 +40,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Ensure at least ``defaultParallelism`` partitions before CPU-heavy
+    per-row expressions (shingling, n-gram construction, signatures).
+
+    A small local parquet file scans as ONE partition, serializing all
+    downstream expression work onto one core; a round-robin repartition
+    costs one cheap shuffle of the raw rows and unlocks every core. At
+    cluster scale this is a NO-OP: a 100 TB table scans as tens of
+    thousands of partitions, so the condition never triggers and no
+    shuffle is added.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
               num_partitions: int = 32,
