@@ -523,8 +523,13 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holistic aggregates: exact interpolated percentiles per return flag
     (Spark `percentile` ≡ ANSI `quantile_cont` bit-for-bit on doubles).
     Exact percentile sorts within groups; at 100 TB switch to
-    `approx_percentile` (t-digest, mergeable) and bound the error instead."""
-    li = load(spark, sf_dir, "lineitem")
+    `approx_percentile` (t-digest, mergeable) and bound the error instead.
+    The pruned projection is spread across cores before the holistic agg so
+    the value buffers at least BUILD in parallel (merge stays per-group)."""
+    from ..tables import spread
+    li = spread(load(spark, sf_dir, "lineitem")
+                .select("l_returnflag", "l_quantity", "l_extendedprice"),
+                spark)
     return (
         li.groupBy(F.col("l_returnflag").alias("return_flag"))
         .agg(F.percentile("l_quantity", 0.5).alias("median_qty"),
