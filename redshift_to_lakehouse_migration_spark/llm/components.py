@@ -1,0 +1,62 @@
+"""Connected components over near-duplicate pair graphs.
+
+Near-dup detection emits PAIRS; a training pipeline needs GROUPS — if
+A~B and B~C, all three are one cluster and exactly one document survives.
+This is min-label propagation (the DataFrame form of union-find):
+
+- every node starts labeled with itself;
+- each round, every node takes the min label among itself and its
+  neighbors (one equality join + one hash aggregate);
+- converged when no label changed — at most `graph diameter` rounds, and
+  dedup-cluster diameters are tiny (near-dup groups are dense).
+
+Scale shape per round: the join shuffles the (bounded) edge list keyed by
+node, the aggregate shuffles one row per node; `localCheckpoint` after
+each round keeps lineage flat so 10 rounds cost 10× one round, not 2^10.
+The convergence probe is a LIMIT-1 count — a driver scalar, not a
+collect of data. This is the standard large-star/small-star family
+simplification that holds when components are small (dedup clusters);
+for web-scale giant components you would switch to alternating
+large/small-star rounds — same DataFrame skeleton.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, col_a: str, col_b: str,
+                         max_iter: int = 15) -> DataFrame:
+    """Return (node, comp) where comp is the MIN node id reachable in the
+    undirected graph given by ``edges``. Nodes appearing in no edge are
+    absent (callers left-join and coalesce to the node itself)."""
+    sym = (
+        edges.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+        .union(edges.select(F.col(col_b).alias("src"),
+                            F.col(col_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round: cut the source plan
+    )
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("comp", F.col("node")))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -59,12 +59,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id_1", "doc_id_2")
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the blocked
+    3-gram-Jaccard pair graph (A~B, B~C ⇒ {A,B,C} one cluster), canonical
+    keeper = min doc_id per component — the step that turns pair detection
+    into an actual drop list. Iterative min-label propagation
+    (`llm/components.py`); the DuckDB oracle replays it as a recursive CTE."""
+    from ..llm.components import connected_components
+    pairs = dedup_ngram_jaccard(spark, sf_dir) \
+        .select("doc_id_1", "doc_id_2")
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull()
+                & (F.length(F.trim(F.col("text"))) > 0))
+        .select("doc_id")
+    )
+    comp = connected_components(pairs, "doc_id_1", "doc_id_2")
+    labeled = (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(docs["doc_id"],
+                F.coalesce(F.col("comp"), docs["doc_id"])
+                .alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size",
+                (F.col("doc_id") == F.col("cluster_id"))
+                .alias("is_canonical"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_clusters": dedup_clusters,
 }
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -118,3 +152,55 @@ ORACLES = {
               / (s1.n_shingles + s2.n_shingles - p.shared_shingles) >= 0.4
     """,
 }
+
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), tok AS (
+        SELECT doc_id, substr(norm, 1, 16) AS block,
+               string_split(norm, ' ') AS toks
+        FROM docs
+    ), sh AS (
+        SELECT doc_id, block, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ')
+             for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
+            AS shingle
+        FROM tok
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), rawpairs AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               COUNT(*) AS shared_shingles
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.block = b.block
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jpairs AS (
+        SELECT p.doc_id_1, p.doc_id_2
+        FROM rawpairs p
+        JOIN sizes s1 ON p.doc_id_1 = s1.doc_id
+        JOIN sizes s2 ON p.doc_id_2 = s2.doc_id
+        WHERE p.shared_shingles
+              / (s1.n_shingles + s2.n_shingles - p.shared_shingles) >= 0.4
+    ), sym AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM jpairs
+        UNION
+        SELECT doc_id_2, doc_id_1 FROM jpairs
+    ), reach(node, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ), comp AS (
+        SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    ), labeled AS (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+        FROM docs d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           l.doc_id = l.cluster_id AS is_canonical
+    FROM labeled l
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM labeled GROUP BY cluster_id) s USING (cluster_id)
+    ORDER BY l.doc_id
+"""

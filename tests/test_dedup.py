@@ -162,3 +162,25 @@ def test_ivf_assign_and_topk(spark):
     top = S.ivf_topk(lists, probes, k=2).collect()
     assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)][0] in (1, 4)
     assert all(r.query_id == 2 for r in top)
+
+
+def test_connected_components_multihop(spark):
+    """A~B, B~C, D~E: components must close transitively with min-id
+    labels, across any partitioning."""
+    from redshift_to_lakehouse_migration_spark.llm.components import connected_components
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "a long, b long").repartition(5)
+    comp = {r.node: r.comp
+            for r in connected_components(edges, "a", "b").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """A 12-node path graph needs several propagation rounds; the
+    convergence loop must reach the fixpoint, not stop early."""
+    from redshift_to_lakehouse_migration_spark.llm.components import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a long, b long")
+    comp = connected_components(edges, "a", "b")
+    assert comp.select("comp").distinct().count() == 1
+    assert comp.agg({"comp": "max"}).collect()[0][0] == 0
