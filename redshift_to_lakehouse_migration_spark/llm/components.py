@@ -45,10 +45,12 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
             sym.join(labels, sym["dst"] == labels["node"])
             .select(F.col("src").alias("node"), "comp")
         )
+        # lazy checkpoint: the convergence probe below is the action that
+        # materializes it — one job per round instead of two
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("node").agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

@@ -1,0 +1,293 @@
+"""End-to-end training-corpus preparation pipeline.
+
+The LLM-side counterpart of the medallion pipeline (`medallion/flow.py`):
+the full funnel a training-data team runs before tokenization —
+
+    raw → quality gate → exact dedup → near-dup clustering (drop
+    non-canonical) → benchmark decontamination → stratified sampling
+    → sequence packing
+
+Every stage reuses the exact operator the standalone queries verify
+against DuckDB (`corpus_prep` gates, `dedup_exact` keeper rule,
+`dedup_clusters` components, `contamination_check` gram overlap,
+`sample_stratified` md5 thresholds, `pack_sequences` binning), so the
+composed pipeline inherits their per-stage oracles; the composed funnel
+itself is value-checked end-to-end by the `corpus_funnel` query oracle.
+
+``run_corpus_pipeline`` materializes each stage to parquet like a real
+pipeline (bronze→silver-style restartability); the stage builders are
+pure DataFrame functions so `corpus_funnel` can also evaluate the whole
+funnel as ONE lazy plan with zero writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.curation import BENCH_MOD, NGRAM_N
+from ..queries.sampling import DEFAULT_CEILING, PACK_BUDGET, STRATUM_CEILING
+from .components import connected_components
+from .dedup import norm_text
+
+
+def stage_raw(docs: DataFrame) -> DataFrame:
+    """Non-empty documents with the token count every later stage reuses."""
+    text = F.col("text")
+    return (
+        docs.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+        .select("doc_id", "lang", "text",
+                F.size(F.split(F.trim(text), r"\s+")).cast("long")
+                .alias("n_tokens"))
+    )
+
+
+def stage_gate(raw: DataFrame) -> DataFrame:
+    """Quality gate — integer-exact thresholds (same as `corpus_prep`)."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    from ..queries.llm_text import _STOP_RE
+    n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
+    n_tokens = F.col("n_tokens")
+    return raw.filter((n_tokens >= 5) & (n_punct * 5 < n_chars)
+                      & (n_stop * 100 >= n_tokens)
+                      & (n_stop * 10 <= n_tokens * 6))
+
+
+def stage_exact_dedup(gated: DataFrame) -> DataFrame:
+    """Keep the min doc_id per normalized-content hash (`dedup_exact`)."""
+    hashed = gated.withColumn("content_hash", F.md5(norm_text("text")))
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"))
+    return hashed.join(keepers, ["content_hash", "doc_id"]) \
+        .drop("content_hash")
+
+
+def stage_near_dup_canonical(deduped: DataFrame) -> DataFrame:
+    """Drop non-canonical members of near-dup clusters: blocked 3-gram
+    Jaccard pairs (threshold 0.4, as `dedup_ngram_jaccard`) → connected
+    components → keep component-min docs and singletons."""
+    from .dedup import jaccard_pairs, shingles
+    normed = deduped.select("doc_id", norm_text("text").alias("norm"))
+    sh = shingles(normed, "doc_id", "norm")
+    blocks = normed.select("doc_id",
+                           F.substring("norm", 1, 16).alias("block"))
+    pairs = jaccard_pairs(sh, blocks, threshold=0.4) \
+        .select("doc_id_1", "doc_id_2")
+    comp = connected_components(pairs, "doc_id_1", "doc_id_2")
+    return (
+        deduped.join(comp, deduped["doc_id"] == comp["node"], "left")
+        .filter(F.col("comp").isNull()
+                | (F.col("comp") == deduped["doc_id"]))
+        .drop("node", "comp")
+    )
+
+
+def _grams(text_col: F.Column) -> F.Column:
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+    ))
+    # total on short docs: sequence(1, n<1) would run DESCENDING in Spark
+    return F.when(F.size(toks) >= NGRAM_N, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def stage_decontaminate(canonical: DataFrame,
+                        all_docs: DataFrame) -> DataFrame:
+    """Drop benchmark docs themselves and any doc sharing a word
+    NGRAM_N-gram with the benchmark set (same rule as
+    `contamination_check`; short docs carry no grams and pass)."""
+    bench_grams = (
+        all_docs.filter((F.col("doc_id") % BENCH_MOD == 0)
+                        & F.col("text").isNotNull())
+        .select(F.explode(_grams(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    corpus = canonical.filter(F.col("doc_id") % BENCH_MOD != 0)
+    dirty = (
+        corpus.select("doc_id", F.explode(_grams(F.col("text")))
+                      .alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id").distinct()
+    )
+    return corpus.join(dirty, "doc_id", "left_anti")
+
+
+def stage_sample(clean: DataFrame) -> DataFrame:
+    """Deterministic stratified sample (same rule as `sample_stratified`)."""
+    ceiling = F.when(F.col("lang") == "en",
+                     F.lit(STRATUM_CEILING["en"])) \
+        .otherwise(F.lit(DEFAULT_CEILING))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return clean.filter(bucket < ceiling)
+
+
+def stage_pack(sampled: DataFrame) -> DataFrame:
+    """Concat-and-chunk packing stats (same rule as `pack_sequences`)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = sampled.select(
+        "lang", "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+         .cast("long")).alias("start_offset"),
+    ).select("lang", "n_tokens",
+             F.expr(f"start_offset div {PACK_BUDGET}").alias("bin_id"))
+    return (
+        binned.groupBy("lang", "bin_id")
+        .agg(F.count("*").alias("docs_in_bin"),
+             F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("lang", "bin_id")
+    )
+
+
+STAGES = ("raw", "gated", "exact_dedup", "near_dup_canonical",
+          "decontaminated", "sampled")
+
+
+def funnel(docs: DataFrame) -> DataFrame:
+    """The whole funnel as ONE single-pass plan: every document carries a
+    survival flag per stage (the lineage instrumentation a production
+    pipeline would emit anyway), and one conditional aggregate + unpivot
+    yields (stage_id, stage, docs, tokens) for all six stages. One Spark
+    job instead of one per stage — the per-action fixed cost dominates
+    small runs, and at 100 TB one corpus pass beats six."""
+    from .dedup import jaccard_pairs, shingles
+
+    raw = stage_raw(docs)
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    from ..queries.llm_text import _STOP_RE
+    n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
+    n_tokens = F.col("n_tokens")
+    in_gated = ((n_tokens >= 5) & (n_punct * 5 < n_chars)
+                & (n_stop * 100 >= n_tokens)
+                & (n_stop * 10 <= n_tokens * 6))
+    flagged = raw.withColumn("in_gated", in_gated) \
+        .withColumn("content_hash", F.md5(norm_text("text")))
+
+    keepers = (flagged.filter("in_gated")
+               .groupBy("content_hash")
+               .agg(F.min("doc_id").alias("keeper_id")))
+    flagged = (
+        flagged.join(keepers, "content_hash", "left")
+        .withColumn("in_exact",
+                    F.col("in_gated")
+                    & (F.col("doc_id") == F.col("keeper_id")))
+    )
+
+    exact_docs = flagged.filter("in_exact").select("doc_id", "text")
+    normed = exact_docs.select("doc_id", norm_text("text").alias("norm"))
+    sh = shingles(normed, "doc_id", "norm")
+    blocks = normed.select("doc_id",
+                           F.substring("norm", 1, 16).alias("block"))
+    pairs = jaccard_pairs(sh, blocks, threshold=0.4) \
+        .select("doc_id_1", "doc_id_2")
+    comp = connected_components(pairs, "doc_id_1", "doc_id_2")
+    flagged = (
+        flagged.join(comp, flagged["doc_id"] == comp["node"], "left")
+        .withColumn("in_canon",
+                    F.col("in_exact")
+                    & (F.col("node").isNull()
+                       | (F.col("comp") == F.col("doc_id"))))
+        .drop("node", "comp")
+    )
+
+    bench_grams = (
+        docs.filter((F.col("doc_id") % BENCH_MOD == 0)
+                    & F.col("text").isNotNull())
+        .select(F.explode(_grams(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    dirty = (
+        flagged.filter(F.col("in_canon")
+                       & (F.col("doc_id") % BENCH_MOD != 0))
+        .select("doc_id", F.explode(_grams(F.col("text"))).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id").distinct()
+        .withColumn("is_dirty", F.lit(True))
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    ceiling = F.when(F.col("lang") == "en",
+                     F.lit(STRATUM_CEILING["en"])) \
+        .otherwise(F.lit(DEFAULT_CEILING))
+    flagged = (
+        flagged.join(dirty, "doc_id", "left")
+        .withColumn("in_clean",
+                    F.col("in_canon")
+                    & (F.col("doc_id") % BENCH_MOD != 0)
+                    & F.col("is_dirty").isNull())
+        .withColumn("in_sampled", F.col("in_clean") & (bucket < ceiling))
+    )
+
+    flags = ("in_raw", "in_gated", "in_exact", "in_canon", "in_clean",
+             "in_sampled")
+    flagged = flagged.withColumn("in_raw", F.lit(True))
+    agg = flagged.agg(*(
+        [F.sum(F.when(F.col(fl), 1).otherwise(0)).cast("long")
+         .alias(f"docs_{i}") for i, fl in enumerate(flags)]
+        + [F.sum(F.when(F.col(fl), F.col("n_tokens")).otherwise(0))
+           .cast("long").alias(f"tokens_{i}") for i, fl in enumerate(flags)]
+    ))
+    stack = ", ".join(
+        f"{i}, '{name}', docs_{i}, tokens_{i}"
+        for i, name in enumerate(STAGES))
+    return agg.selectExpr(
+        f"stack({len(STAGES)}, {stack}) "
+        "AS (stage_id, stage, docs, tokens)"
+    ).orderBy("stage_id")
+
+
+def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
+                        out_dir: str) -> DataFrame:
+    """Materializing runner: write every stage to parquet (restartable,
+    inspectable — the medallion discipline applied to corpus prep), then
+    return the funnel computed FROM the written tables."""
+    raw = stage_raw(docs)
+    raw.write.mode("overwrite").parquet(f"{out_dir}/raw")
+    raw = spark.read.parquet(f"{out_dir}/raw")
+
+    gated = stage_gate(raw)
+    gated.write.mode("overwrite").parquet(f"{out_dir}/gated")
+    gated = spark.read.parquet(f"{out_dir}/gated")
+
+    exact = stage_exact_dedup(gated)
+    exact.write.mode("overwrite").parquet(f"{out_dir}/exact_dedup")
+    exact = spark.read.parquet(f"{out_dir}/exact_dedup")
+
+    canon = stage_near_dup_canonical(exact)
+    canon.write.mode("overwrite").parquet(f"{out_dir}/canonical")
+    canon = spark.read.parquet(f"{out_dir}/canonical")
+
+    clean = stage_decontaminate(canon, docs)
+    clean.write.mode("overwrite").parquet(f"{out_dir}/decontaminated")
+    clean = spark.read.parquet(f"{out_dir}/decontaminated")
+
+    sampled = stage_sample(clean)
+    sampled.write.mode("overwrite").parquet(f"{out_dir}/sampled")
+    sampled = spark.read.parquet(f"{out_dir}/sampled")
+
+    stage_pack(sampled).write.mode("overwrite") \
+        .parquet(f"{out_dir}/packed_bins")
+
+    stats = []
+    for i, name in enumerate(STAGES):
+        path = {"raw": "raw", "gated": "gated",
+                "exact_dedup": "exact_dedup",
+                "near_dup_canonical": "canonical",
+                "decontaminated": "decontaminated",
+                "sampled": "sampled"}[name]
+        df = spark.read.parquet(f"{out_dir}/{path}")
+        stats.append(df.agg(
+            F.lit(i).alias("stage_id"), F.lit(name).alias("stage"),
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens")))
+    out = stats[0]
+    for p in stats[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage_id")

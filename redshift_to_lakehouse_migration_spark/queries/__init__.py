@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     analytics,
+    corpus,
     curation,
     dims,
     events,
@@ -36,6 +37,7 @@ from . import (
 _MODULES = (
     staging, facts, dims, analytics, tpch, windows, events, governance,
     llm_text, llm_dedup, llm_similarity, multimodal, sampling, curation,
+    corpus,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
