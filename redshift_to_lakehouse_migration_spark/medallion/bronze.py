@@ -40,6 +40,31 @@ def read_csv(spark: SparkSession, source_path: str,
     )
 
 
+def read_jsonl(spark: SparkSession, source_path: str,
+               schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with explicit schema (the interchange format LLM
+    corpora actually ship in). Same discipline as `read_csv`: no
+    inference — a schema-inference pass over 100 TB is a full extra scan,
+    and silent type drift is how bad rows poison a corpus. Malformed
+    lines land in `_corrupt_record` (PERMISSIVE) instead of failing the
+    ingest; callers route them to quarantine like the reference's DQ flow."""
+    return (
+        spark.read
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(T.StructType(  # copy: StructType.add mutates the caller's
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]))
+        .json(source_path)
+    )
+
+
+def write_jsonl(df: DataFrame, target_path: str,
+                mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, standard corpus export)."""
+    df.write.mode(mode).json(target_path)
+
+
 def ingest_batch(spark: SparkSession, source_path: str,
                  schema: T.StructType, target_path: str,
                  batch_id: int | None = None,

@@ -418,3 +418,75 @@ def events_daily_unique_users_hll(spark: SparkSession,
 QUERIES["events_daily_unique_users_hll"] = events_daily_unique_users_hll
 # no ORACLE: HLL estimates are engine-specific; driver checks rows-only,
 # tests/test_queries_oracle.py bounds the estimate vs exact distinct
+
+
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step conversion funnel: signup → first click at-or-after
+    the signup → first purchase at-or-after that click. Three equality
+    joins on user_id (each a single shuffle on the same key — co-located
+    under one partitioning at scale), min-timestamp semantics so each
+    step anchors on the earliest qualifying event. Integer basis-point
+    conversions (div) keep the output engine-exact."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signup = (e.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    click = (
+        e.filter(F.col("event_type") == "click").alias("c")
+        .join(signup.alias("s"), "user_id")
+        .filter(F.col("c.ts") >= F.col("s.signup_ts"))
+        .groupBy("user_id").agg(F.min("c.ts").alias("click_ts"))
+    )
+    purchase = (
+        e.filter(F.col("event_type") == "purchase").alias("p")
+        .join(click.alias("k"), "user_id")
+        .filter(F.col("p.ts") >= F.col("k.click_ts"))
+        .groupBy("user_id").agg(F.min("p.ts").alias("purchase_ts"))
+    )
+    totals = e.agg(F.countDistinct("user_id").alias("users_total"))
+    return (
+        totals
+        .crossJoin(F.broadcast(
+            signup.agg(F.count("*").alias("users_signup"))))
+        .crossJoin(F.broadcast(
+            click.agg(F.count("*").alias("users_click_after_signup"))))
+        .crossJoin(F.broadcast(
+            purchase.agg(F.count("*").alias("users_purchase_after_click"))))
+        .select(
+            "users_total", "users_signup", "users_click_after_signup",
+            "users_purchase_after_click",
+            F.expr("users_click_after_signup * 10000 div users_signup")
+            .alias("click_conv_bps"),
+            F.expr("users_purchase_after_click * 10000 "
+                   "div users_click_after_signup")
+            .alias("purchase_conv_bps"),
+        )
+    )
+
+
+QUERIES["events_conversion_funnel"] = events_conversion_funnel
+
+ORACLES["events_conversion_funnel"] = """
+    WITH signup AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), click AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN signup s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    ), purchase AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN click k ON e.user_id = k.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= k.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT
+        (SELECT COUNT(DISTINCT user_id) FROM events) AS users_total,
+        (SELECT COUNT(*) FROM signup) AS users_signup,
+        (SELECT COUNT(*) FROM click) AS users_click_after_signup,
+        (SELECT COUNT(*) FROM purchase) AS users_purchase_after_click,
+        (SELECT COUNT(*) FROM click) * 10000
+            // (SELECT COUNT(*) FROM signup) AS click_conv_bps,
+        (SELECT COUNT(*) FROM purchase) * 10000
+            // (SELECT COUNT(*) FROM click) AS purchase_conv_bps
+"""

@@ -130,11 +130,46 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training rows: each bin's documents concatenated
+    in doc_id order into one training-example text (with doc boundaries),
+    plus the id list for lineage. collect_list carries (doc_id, text)
+    structs; array_sort makes the in-bin order deterministic regardless of
+    partitioning — the shuffle is the same one hash aggregate as
+    `pack_sequences`, just carrying text payloads."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = (
+        d.select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+        .select("doc_id", "lang", "text", "n_tokens",
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                .cast("long").alias("start_offset"))
+        .select("doc_id", "lang", "text", "n_tokens",
+                F.expr(f"start_offset div {PACK_BUDGET}").alias("bin_id"))
+    )
+    packed = (
+        binned.groupBy("lang", "bin_id")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+             .alias("members"),
+             F.sum("n_tokens").alias("bin_tokens"))
+    )
+    return packed.select(
+        "lang", "bin_id",
+        F.transform("members", lambda m: m["doc_id"]).alias("doc_ids"),
+        F.concat_ws("\n\n", F.transform("members", lambda m: m["text"]))
+        .alias("packed_text"),
+        "bin_tokens",
+    ).orderBy("lang", "bin_id")
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_per_stratum": sample_per_stratum,
     "mix_datasets": mix_datasets,
     "pack_sequences": pack_sequences,
+    "pack_sequences_rows": pack_sequences_rows,
 }
 
 ORACLES = {
@@ -183,6 +218,32 @@ ORACLES = {
                effective_tokens * 10000 // total_effective AS mix_share_bps
         FROM weighted, total
         ORDER BY source
+    """,
+    "pack_sequences_rows": f"""
+        WITH binned AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(SUM(CAST(len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                                 AS BIGINT)) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW
+                        ) - CAST(len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                                 AS BIGINT) AS BIGINT)
+                       // {PACK_BUDGET} AS bin_id
+            FROM documents
+        )
+        SELECT lang, bin_id,
+               list(doc_id ORDER BY doc_id) AS doc_ids,
+               string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
+                   AS packed_text,
+               SUM(n_tokens) AS bin_tokens
+        FROM binned
+        GROUP BY lang, bin_id
+        ORDER BY lang, bin_id
     """,
     "pack_sequences": f"""
         WITH toks AS (

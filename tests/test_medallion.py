@@ -124,3 +124,39 @@ def test_parallel_dag_run_matches_serial(spark, raw_dir, tmp_path_factory,
     for name in ("bronze_policies", "silver_policies", "dim_policy",
                  "fact_claims", "fact_premiums"):
         assert par_outputs[name].count() == serial_outputs[name].count(), name
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
+    """JSONL source/sink: schema applied without inference, values
+    survive a write→read roundtrip, malformed lines quarantine instead
+    of failing (S1/S11 discipline on the corpus interchange format)."""
+    from pyspark.sql import types as T
+    from redshift_to_lakehouse_migration_spark.medallion.bronze import read_jsonl, write_jsonl
+    from redshift_to_lakehouse_migration_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    # Spark disallows filtering ONLY the corrupt column on a raw JSON
+    # scan; cache() is the documented workaround
+    back = read_jsonl(spark, path, schema).cache()
+    assert back.schema["doc_id"].dataType == T.LongType()
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    a = {tuple(r) for r in docs.select("doc_id", "lang", "n_chars").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "lang", "n_chars").collect()}
+    assert a == b
+
+    # malformed line -> quarantined row, not a failed read
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\nNOT JSON\n')
+    q = read_jsonl(spark, str(bad), schema).cache()
+    assert q.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert q.filter("_corrupt_record IS NULL").count() == 1
