@@ -239,3 +239,39 @@ def test_streaming_scd2_merge(spark, tmp_path):
     stream_scd2(spark, changes2, dim_path, ["user_id"], ["tier"],
                 "2024-03-01", ckpt)
     assert spark.read.parquet(dim_path).count() == 5
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (click → purchase within 1h per user):
+    run both sides as REAL file streams with watermarks (availableNow →
+    memory sink) and assert the result set equals the same operator
+    applied to the batch frames — bounded state, identical semantics."""
+    from redshift_to_lakehouse_migration_spark.streaming.joins import interval_join
+
+    events = load(spark, SF, "events").select("user_id", "event_type",
+                                              "ts", "event_id")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+
+    batch = interval_join(spark.read.parquet(cdir),
+                          spark.read.parquet(pdir),
+                          key="user_id", left_ts="ts", right_ts="ts")
+    expected = {(r.l_key, r.l_event_id, r.r_event_id)
+                for r in batch.collect()}
+    assert expected  # non-degenerate fixture
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    out = interval_join(cs, ps, key="user_id", left_ts="ts",
+                        right_ts="ts")
+    q = (out.writeStream.format("memory").queryName("ssjoin")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.l_key, r.l_event_id, r.r_event_id)
+           for r in spark.sql("SELECT * FROM ssjoin").collect()}
+    assert got == expected
