@@ -454,10 +454,12 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "users_total", "users_signup", "users_click_after_signup",
             "users_purchase_after_click",
-            F.expr("users_click_after_signup * 10000 div users_signup")
-            .alias("click_conv_bps"),
-            F.expr("users_purchase_after_click * 10000 "
-                   "div users_click_after_signup")
+            F.expr("CASE WHEN users_signup > 0 THEN "
+                   "users_click_after_signup * 10000 div users_signup "
+                   "END").alias("click_conv_bps"),
+            F.expr("CASE WHEN users_click_after_signup > 0 THEN "
+                   "users_purchase_after_click * 10000 "
+                   "div users_click_after_signup END")
             .alias("purchase_conv_bps"),
         )
     )
@@ -485,8 +487,10 @@ ORACLES["events_conversion_funnel"] = """
         (SELECT COUNT(*) FROM signup) AS users_signup,
         (SELECT COUNT(*) FROM click) AS users_click_after_signup,
         (SELECT COUNT(*) FROM purchase) AS users_purchase_after_click,
-        (SELECT COUNT(*) FROM click) * 10000
-            // (SELECT COUNT(*) FROM signup) AS click_conv_bps,
-        (SELECT COUNT(*) FROM purchase) * 10000
-            // (SELECT COUNT(*) FROM click) AS purchase_conv_bps
+        CASE WHEN (SELECT COUNT(*) FROM signup) > 0 THEN
+            (SELECT COUNT(*) FROM click) * 10000
+                // (SELECT COUNT(*) FROM signup) END AS click_conv_bps,
+        CASE WHEN (SELECT COUNT(*) FROM click) > 0 THEN
+            (SELECT COUNT(*) FROM purchase) * 10000
+                // (SELECT COUNT(*) FROM click) END AS purchase_conv_bps
 """
