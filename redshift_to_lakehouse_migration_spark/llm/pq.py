@@ -1,0 +1,126 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+The memory-side scale technique the IVF/LSH paths don't cover: a
+64-dim float vector (256 B) compresses to M subspace codes (M bytes),
+so a 100 TB embedding corpus fits hot in a fraction of the space, and
+search runs on codes via asymmetric distance computation (ADC):
+
+- **train**: per subspace, Lloyd's k-means on the subvectors (Euclidean —
+  the PQ objective), same distributed shape as `kmeans.py`: broadcast
+  argmin assignment (one shuffle row per subvector), posexplode
+  map-side-combine mean update;
+- **encode**: one broadcast argmin pass → (vec_id, [code_0..code_{M-1}]);
+- **search (ADC)**: the probe precomputes a distance table to every
+  subspace centroid (M×K rows — tiny, broadcast); candidate distance is
+  the SUM of M table lookups, i.e. an equality join + hash aggregate.
+  No full-precision vector is ever touched at query time.
+
+Everything is built-in expressions (slice/posexplode/aggregate folds);
+codes and table lookups shuffle instead of raw vectors — that ratio
+(M bytes vs 4·dim) is the whole point at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_subvectors(vecs: DataFrame, id_col: str, vec_col: str,
+                     m: int, dim: int) -> DataFrame:
+    """(id, subspace, subvec) long form; subspace j holds dims
+    [j·dim/m, (j+1)·dim/m)."""
+    width = dim // m
+    parts = F.array(*[
+        F.struct(F.lit(j).alias("subspace"),
+                 F.slice(F.col(vec_col), j * width + 1, width)
+                 .cast("array<double>").alias("subvec"))
+        for j in range(m)
+    ])
+    return (vecs.select(F.col(id_col).alias("vec_id"),
+                        F.explode(parts).alias("p"))
+            .select("vec_id", "p.subspace", "p.subvec"))
+
+
+def _l2sq(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def assign_codes(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest centroid per (vec, subspace): broadcast the codebook,
+    argmin-L2 as a hash aggregate (lexicographic max over
+    (-dist, -code)) — the shuffle carries one row per subvector."""
+    cb = codebook.select("subspace", F.col("code").alias("code"),
+                         F.col("centroid").alias("__c"))
+    scored = (sub.join(F.broadcast(cb), "subspace")
+              .withColumn("__d", F.round(_l2sq(F.col("subvec"),
+                                               F.col("__c")), 9)))
+    best = F.max(F.struct(
+        (-F.col("__d")).alias("neg_d"),
+        (-F.col("code")).alias("neg_code"),
+        F.col("subvec").alias("sv"))).alias("b")
+    return (scored.groupBy("vec_id", "subspace").agg(best)
+            .select("vec_id", "subspace",
+                    (-F.col("b.neg_code")).cast("int").alias("code"),
+                    F.col("b.sv").alias("subvec")))
+
+
+def _update_codebook(assigned: DataFrame) -> DataFrame:
+    """Euclidean mean per (subspace, code) — posexplode partial sums."""
+    per_dim = (assigned
+               .select("subspace", "code",
+                       F.posexplode("subvec").alias("d", "x"))
+               .groupBy("subspace", "code", "d")
+               .agg(F.sum("x").alias("sx"), F.count("*").alias("n")))
+    return (per_dim.groupBy("subspace", "code")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "sx", "n"))),
+                lambda s: s["sx"] / s["n"]).alias("centroid")))
+
+
+def train_codebook(sub: DataFrame, init: DataFrame,
+                   iters: int = 2) -> DataFrame:
+    """Per-subspace Lloyd iterations. ``init``: (subspace, code, centroid)."""
+    codebook = init
+    for _ in range(iters):
+        assigned = assign_codes(sub, codebook)
+        codebook = _update_codebook(assigned).localCheckpoint(eager=True)
+    return codebook
+
+
+def encode(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int> ordered by subspace) — the compressed rep."""
+    assigned = assign_codes(sub, codebook)
+    return (assigned.groupBy("vec_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda s: s["code"]).alias("codes")))
+
+
+def adc_topk(codes: DataFrame, probes_sub: DataFrame,
+             codebook: DataFrame, k: int) -> DataFrame:
+    """Asymmetric-distance top-k: probe→centroid distance table (M×K per
+    probe, broadcast), candidate distance = sum of code lookups.
+
+    Plan: codes explode to (vec_id, subspace, code) → equality join with
+    the table → one hash aggregate per (probe, candidate) → rank-k window.
+    The corpus side never carries floats wider than one distance."""
+    dtable = (probes_sub.join(F.broadcast(codebook), "subspace")
+              .select(F.col("vec_id").alias("query_id"), "subspace", "code",
+                      F.round(_l2sq(F.col("subvec"), F.col("centroid")), 9)
+                      .alias("dist")))
+    long_codes = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id"))
+    return (
+        long_codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

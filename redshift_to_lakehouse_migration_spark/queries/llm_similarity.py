@@ -160,6 +160,31 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim floats → 4 subspace codes (byte-
+    scale compression for 100 TB embedding stores), one Lloyd iteration
+    per subspace from deterministic seeds, then asymmetric-distance top-5
+    (probe-side distance table broadcast, candidate distance = sum of 4
+    code lookups). Rows-only (float sums + iterative training are not
+    portable SQL); tests/test_pq.py asserts quantization-error descent,
+    code validity, and above-chance recall vs the exact baseline."""
+    from pyspark.sql import Window as W
+    from ..llm import pq
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    sub = pq.split_subvectors(e, "vec_id", "embedding", m=4, dim=_DIM)
+    seeds = sub.filter(F.col("vec_id") % 64 == 0)
+    init = seeds.select(
+        "subspace",
+        (F.row_number().over(W.partitionBy("subspace").orderBy("vec_id"))
+         - 1).alias("code"),
+        F.col("subvec").alias("centroid"))
+    codebook = pq.train_codebook(sub, init, iters=1)
+    codes = pq.encode(sub, codebook)
+    probes = sub.filter(F.col("vec_id") % 50 == 0)
+    return pq.adc_topk(codes, probes, codebook, k=5) \
+        .orderBy("query_id", "rank")
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -168,6 +193,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_stats": embedding_stats,
     "kmeans_clusters": kmeans_clusters,
+    "knn_pq_adc": knn_pq_adc,
 }
 
 _SIM = (f"round({_dot_sql('q.q_emb', 'e.embedding')} / "

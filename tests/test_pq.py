@@ -1,0 +1,90 @@
+"""Product quantization (llm/pq.py): training/encoding/ADC invariants.
+
+Synthetic gaussian embeddings are near-unquantizable, so recall targets
+chance-relative bounds rather than production-grade absolutes; the
+structural invariants (Lloyd descent, total valid encoding, deterministic
+ranking) are the correctness contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redshift_to_lakehouse_migration_spark.llm import pq
+from redshift_to_lakehouse_migration_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+M, DIM = 4, 64
+
+
+@pytest.fixture(scope="module")
+def sub(spark):
+    e = load(spark, SF, "embeddings")
+    return pq.split_subvectors(e, "vec_id", "embedding", M, DIM).cache()
+
+
+@pytest.fixture(scope="module")
+def init(sub):
+    seeds = sub.filter(F.col("vec_id") % 16 == 0)
+    return seeds.select(
+        "subspace",
+        (F.row_number().over(W.partitionBy("subspace").orderBy("vec_id"))
+         - 1).alias("code"),
+        F.col("subvec").alias("centroid"))
+
+
+def _qerr(sub, codebook):
+    cb = codebook.select("subspace", "code",
+                         F.col("centroid").alias("__c"))
+    d = (sub.join(F.broadcast(cb), "subspace")
+         .withColumn("__d", F.aggregate(
+             F.zip_with("subvec", "__c", lambda x, y: (x - y) * (x - y)),
+             F.lit(0.0), lambda a, v: a + v))
+         .groupBy("vec_id", "subspace").agg(F.min("__d").alias("d")))
+    return d.agg(F.sum("d")).collect()[0][0]
+
+
+def test_lloyd_iterations_reduce_quantization_error(sub, init):
+    e0 = _qerr(sub, init)
+    cb1 = pq.train_codebook(sub, init, iters=1)
+    e1 = _qerr(sub, cb1)
+    cb2 = pq.train_codebook(sub, cb1, iters=1)
+    e2 = _qerr(sub, cb2)
+    assert e1 <= e0 + 1e-9
+    assert e2 <= e1 + 1e-9
+
+
+def test_every_vector_gets_full_valid_code(spark, sub, init):
+    k = init.filter("subspace = 0").count()
+    codes = pq.encode(sub, pq.train_codebook(sub, init, iters=1))
+    n_vecs = load(spark, SF, "embeddings").count()
+    assert codes.count() == n_vecs
+    bad = codes.filter(
+        (F.size("codes") != M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= k))).count()
+    assert bad == 0
+
+
+def test_adc_beats_chance_against_exact_baseline(spark, sub, init):
+    from redshift_to_lakehouse_migration_spark.llm.similarity import cosine_topk
+    e = load(spark, SF, "embeddings")
+    cb = pq.train_codebook(sub, init, iters=1)
+    codes = pq.encode(sub, cb)
+    probes = sub.filter(F.col("vec_id") % 20 == 0)
+    got = pq.adc_topk(codes, probes, cb, k=5).collect()
+    exact = cosine_topk(e, e.filter(F.col("vec_id") % 20 == 0),
+                        "vec_id", "embedding", k=5).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in got:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    mean_recall = sum(recalls) / len(recalls)
+    n = e.count()
+    chance = 5 / (n - 1)
+    assert mean_recall > 3 * chance, (mean_recall, chance)
+    # every probe returns exactly k ranked candidates
+    assert all(len(v) == 5 for v in ap.values())
