@@ -98,6 +98,44 @@ def encode(sub: DataFrame, codebook: DataFrame) -> DataFrame:
                 lambda s: s["code"]).alias("codes")))
 
 
+def adc_topk_within_lists(codes: DataFrame, corpus_lists: DataFrame,
+                          probes_sub: DataFrame, probe_lists: DataFrame,
+                          codebook: DataFrame, k: int) -> DataFrame:
+    """IVF-PQ: ADC ranking confined to the probe's IVF lists — the
+    production ANN composition. ``corpus_lists``/``probe_lists`` carry
+    (vec_id, centroid_id) from `similarity.ivf_assign`; candidates come
+    from the centroid-equality join (compute bound), distances from PQ
+    codes (memory bound). Same shuffle keys as `similarity.ivf_topk`,
+    but the corpus side ships M byte-codes instead of the raw vectors."""
+    dtable = (probes_sub.join(F.broadcast(codebook), "subspace")
+              .select(F.col("vec_id").alias("query_id"), "subspace", "code",
+                      F.round(_l2sq(F.col("subvec"), F.col("centroid")), 9)
+                      .alias("dist")))
+    candidates = (
+        probe_lists.select(F.col("vec_id").alias("query_id"),
+                           "centroid_id")
+        .join(corpus_lists.select(F.col("vec_id").alias("neighbor_id"),
+                                  "centroid_id"), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+    )
+    long_codes = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id"))
+    return (
+        candidates
+        .join(long_codes, "neighbor_id")
+        .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def adc_topk(codes: DataFrame, probes_sub: DataFrame,
              codebook: DataFrame, k: int) -> DataFrame:
     """Asymmetric-distance top-k: probe→centroid distance table (M×K per

@@ -185,6 +185,38 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
 
 
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the production ANN composition: IVF inverted lists bound
+    the candidate set (compute), PQ codes carry the distances (memory).
+    Candidates from a centroid-equality join with multi-probe (nprobe=2);
+    ADC ranks them via the broadcast probe distance table. The corpus
+    ships one row of M byte-codes per vector — never a float vector."""
+    from pyspark.sql import Window as W
+    from ..llm import pq
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    coarse = e.filter(F.col("vec_id") % 64 == 0)
+    lists = sim.ivf_assign(e, coarse, "vec_id", "embedding",
+                           "vec_id", "embedding", nprobe=1) \
+        .select("vec_id", "centroid_id")
+    probe_vecs = e.filter(F.col("vec_id") % 50 == 0)
+    probe_lists = sim.ivf_assign(probe_vecs, coarse, "vec_id", "embedding",
+                                 "vec_id", "embedding", nprobe=2) \
+        .select("vec_id", "centroid_id")
+    sub = pq.split_subvectors(e, "vec_id", "embedding", m=4, dim=_DIM)
+    seeds = sub.filter(F.col("vec_id") % 64 == 0)
+    init = seeds.select(
+        "subspace",
+        (F.row_number().over(W.partitionBy("subspace").orderBy("vec_id"))
+         - 1).alias("code"),
+        F.col("subvec").alias("centroid"))
+    codebook = pq.train_codebook(sub, init, iters=1)
+    codes = pq.encode(sub, codebook)
+    probes_sub = sub.filter(F.col("vec_id") % 50 == 0)
+    return pq.adc_topk_within_lists(codes, lists, probes_sub, probe_lists,
+                                    codebook, k=5) \
+        .orderBy("query_id", "rank")
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -194,6 +226,7 @@ QUERIES = {
     "embedding_stats": embedding_stats,
     "kmeans_clusters": kmeans_clusters,
     "knn_pq_adc": knn_pq_adc,
+    "knn_ivfpq": knn_ivfpq,
 }
 
 _SIM = (f"round({_dot_sql('q.q_emb', 'e.embedding')} / "

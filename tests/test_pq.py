@@ -88,3 +88,39 @@ def test_adc_beats_chance_against_exact_baseline(spark, sub, init):
     assert mean_recall > 3 * chance, (mean_recall, chance)
     # every probe returns exactly k ranked candidates
     assert all(len(v) == 5 for v in ap.values())
+
+
+def test_ivfpq_candidates_subset_and_ranked(spark, sub, init):
+    """IVF-PQ: results must come only from the probe's IVF lists, carry
+    ≤ k ranked rows per probe, and rank by ascending ADC distance."""
+    from redshift_to_lakehouse_migration_spark.llm import pq as _pq
+    from redshift_to_lakehouse_migration_spark.llm.similarity import ivf_assign
+    e = load(spark, SF, "embeddings")
+    coarse = e.filter(F.col("vec_id") % 16 == 0)
+    lists = ivf_assign(e, coarse, "vec_id", "embedding",
+                       "vec_id", "embedding", nprobe=1) \
+        .select("vec_id", "centroid_id")
+    probes = e.filter(F.col("vec_id") % 20 == 0)
+    plists = ivf_assign(probes, coarse, "vec_id", "embedding",
+                        "vec_id", "embedding", nprobe=2) \
+        .select("vec_id", "centroid_id")
+    cb = _pq.train_codebook(sub, init, iters=1)
+    codes = _pq.encode(sub, cb)
+    psub = sub.filter(F.col("vec_id") % 20 == 0)
+    out = _pq.adc_topk_within_lists(codes, lists, psub, plists, cb, k=5)
+    rows = out.collect()
+    assert rows
+    # subset-of-lists: every (query, neighbor) shares a probed centroid
+    allowed = {(a.vec_id, b.vec_id)
+               for a in plists.collect()
+               for b in lists.collect()
+               if a.centroid_id == b.centroid_id}
+    assert all((r.query_id, r.neighbor_id) in allowed for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= 5
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists), q
