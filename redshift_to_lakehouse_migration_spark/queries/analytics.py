@@ -585,3 +585,45 @@ ORACLES["price_percentiles"] = """
     GROUP BY l_returnflag
     ORDER BY return_flag
 """
+
+
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (the migration-domain dedup problem:
+    the same customer keyed differently across legacy systems). Candidate
+    pairs come from a 16-char name-prefix block-equality self-join —
+    never all-pairs — then exact Levenshtein ≤ 1 inside blocks. Identical
+    edit-distance semantics in DuckDB, so fully oracle-checked."""
+    c = load(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name",
+                F.substring("c_name", 1, 16).alias("block"))
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(dist <= 1)
+        .select(F.col("a.c_custkey").alias("customer_id_1"),
+                F.col("b.c_custkey").alias("customer_id_2"),
+                F.col("a.c_name").alias("name_1"),
+                F.col("b.c_name").alias("name_2"),
+                dist.cast("int").alias("edit_distance"))
+        .orderBy("customer_id_1", "customer_id_2")
+    )
+
+
+QUERIES["fuzzy_customer_pairs"] = fuzzy_customer_pairs
+
+ORACLES["fuzzy_customer_pairs"] = """
+    SELECT a.c_custkey AS customer_id_1,
+           b.c_custkey AS customer_id_2,
+           a.c_name AS name_1,
+           b.c_name AS name_2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
+               AS edit_distance
+    FROM customer a
+    JOIN customer b
+      ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY customer_id_1, customer_id_2
+"""

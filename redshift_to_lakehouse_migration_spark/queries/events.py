@@ -494,3 +494,38 @@ ORACLES["events_conversion_funnel"] = """
             (SELECT COUNT(*) FROM purchase) * 10000
                 // (SELECT COUNT(*) FROM click) END AS purchase_conv_bps
 """
+
+
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing at scale: `from_json` with an explicit schema
+    parses the props document ONCE into a struct (vs per-path
+    `get_json_object` re-parsing in `events_json_props`), then aggregates
+    by a derived bucket. Corrupt documents become NULL structs and are
+    counted, not dropped silently."""
+    e = load(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n_events"),
+             F.min("p.k").alias("min_k"),
+             F.max("p.k").alias("max_k"),
+             F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+             .cast("long").alias("unparseable"))
+        .orderBy(F.col("k_bucket").asc_nulls_first())
+    )
+
+
+QUERIES["events_json_typed"] = events_json_typed
+
+ORACLES["events_json_typed"] = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+               AS k_bucket,
+           COUNT(*) AS n_events,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS unparseable
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket ASC NULLS FIRST
+"""
