@@ -79,7 +79,7 @@ def kmeans_fit(corpus: DataFrame, init_centroids: DataFrame,
         # cache: the assignment feeds one aggregate; the centroid table it
         # produces is small, so only IT persists across the loop boundary
         centroids = _update_centroids(assigned)
-        centroids = centroids.localCheckpoint(eager=True)
+        centroids = centroids.localCheckpoint(eager=False)
     return centroids
 
 

@@ -85,7 +85,7 @@ def train_codebook(sub: DataFrame, init: DataFrame,
     codebook = init
     for _ in range(iters):
         assigned = assign_codes(sub, codebook)
-        codebook = _update_codebook(assigned).localCheckpoint(eager=True)
+        codebook = _update_codebook(assigned).localCheckpoint(eager=False)
     return codebook
 
 

@@ -593,10 +593,13 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come from a 16-char name-prefix block-equality self-join —
     never all-pairs — then exact Levenshtein ≤ 1 inside blocks. Identical
     edit-distance semantics in DuckDB, so fully oracle-checked."""
+    from ..tables import spread
     c = load(spark, sf_dir, "customer") \
         .select("c_custkey", "c_name",
                 F.substring("c_name", 1, 16).alias("block"))
-    a, b = c.alias("a"), c.alias("b")
+    # the pairwise Levenshtein work inside blocks is CPU-bound: make sure
+    # the probe side isn't a single scan partition (no-op at scale)
+    a, b = spread(c, spark).alias("a"), c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
         a.join(b, (F.col("a.block") == F.col("b.block"))

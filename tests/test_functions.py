@@ -75,3 +75,18 @@ def test_calendar_columns(spark):
     assert row.day_of_week == 7 and row.is_weekend  # Saturday
     assert row.is_hurricane_season and not row.is_winter_season
     assert row.month_name == "July"
+
+
+def test_spread_parallelizes_small_scans_only(spark):
+    """spread(): single-partition inputs fan out to defaultParallelism;
+    inputs already at/above it pass through unchanged (the cluster-scale
+    no-op contract from SCALE.md)."""
+    from redshift_to_lakehouse_migration_spark.tables import spread
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(100).coalesce(1)
+    assert small.rdd.getNumPartitions() == 1
+    assert spread(small, spark).rdd.getNumPartitions() == target
+    big = spark.range(1000).repartition(target + 4)
+    out = spread(big, spark)
+    assert out.rdd.getNumPartitions() == target + 4
+    assert out is big  # no extra shuffle inserted
