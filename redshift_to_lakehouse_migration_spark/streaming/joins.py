@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dedup_stream(events: DataFrame, keys: list[str], ts_col: str,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once dedup: at-least-once sources (Kafka
+    redeliveries, retried file lands) emit the same event twice across
+    micro-batches; `dropDuplicatesWithinWatermark` keeps state only for
+    ``watermark`` of event time, so the state store stays bounded while
+    duplicates inside the redelivery horizon collapse to one row. Batch
+    frames fall back to plain dropDuplicates (same key semantics)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def interval_join(left: DataFrame, right: DataFrame, key: str,
                   left_ts: str, right_ts: str,
                   within: str = "1 hour",

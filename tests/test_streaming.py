@@ -275,3 +275,27 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     got = {(r.l_key, r.l_event_id, r.r_event_id)
            for r in spark.sql("SELECT * FROM ssjoin").collect()}
     assert got == expected
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicates delivered in DIFFERENT files (→ different micro-batches
+    under maxFilesPerTrigger=1) must collapse to one row when inside the
+    watermark horizon."""
+    from redshift_to_lakehouse_migration_spark.streaming.joins import dedup_stream
+
+    base = load(spark, SF, "events").select("event_id", "user_id", "ts") \
+        .limit(50)
+    land = tmp_path / "dupland"
+    base.write.parquet(str(land / "f1"))
+    base.limit(20).write.parquet(str(land / "f2"))  # redelivered subset
+
+    src = (spark.readStream.schema(base.schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(land / "*")))
+    deduped = dedup_stream(src, ["event_id"], "ts", watermark="10 years")
+    q = (deduped.writeStream.format("memory").queryName("dedupstream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedupstream").collect()
+    assert len(got) == 50  # 70 delivered rows -> 50 unique events
+    assert len({r.event_id for r in got}) == 50
