@@ -57,3 +57,48 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_layout_localizes_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort: after write_zordered, EVERY file's
+    parquet footer covers a narrow range of BOTH columns (the property
+    that lets min/max stats skip files for predicates on either column).
+    A layout sorted only by x has full-width y ranges in every file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from redshift_to_lakehouse_migration_spark.maintenance import write_zordered
+
+    side = 64
+    grid = (spark.range(side * side)
+            .select((F.col("id") % side).alias("x"),
+                    (F.col("id") / side).cast("long").alias("y")))
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(grid, zpath, "x", "y", n_files=16, bits=8)
+    xpath = str(tmp_path / "xsort")
+    (grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.parquet(xpath))
+
+    def spans(path):
+        import glob, statistics
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)}
+            mins = {c: min(md.row_group(g).column(i).statistics.min
+                           for g in range(md.num_row_groups))
+                    for c, i in cols.items()}
+            maxs = {c: max(md.row_group(g).column(i).statistics.max
+                           for g in range(md.num_row_groups))
+                    for c, i in cols.items()}
+            out.append({c: maxs[c] - mins[c] for c in cols})
+        return {c: statistics.mean(s[c] for s in out) for c in out[0]}
+
+    z, x = spans(zpath), spans(xpath)
+    # z-order: BOTH dims localized (each file covers ~a quadrant strip)
+    assert z["x"] < side * 0.6 and z["y"] < side * 0.6, z
+    # x-sort: x localized but y spans the full width in every file
+    assert x["y"] > side * 0.9, x
+    # and z-order's y-span beats the x-sorted layout's by a wide margin
+    assert z["y"] < x["y"] / 2
