@@ -630,3 +630,42 @@ ORACLES["fuzzy_customer_pairs"] = """
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     ORDER BY customer_id_1, customer_id_2
 """
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-25 part pairs co-occurring in orders.
+    The self-join is keyed on the ORDER (baskets are small — bounded
+    fan-out per key), never on parts; support counts come from one hash
+    aggregate on the pair. The classic affinity query, deterministically
+    tie-broken."""
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_id_1"),
+                 F.col("b.l_partkey").alias("part_id_2"))
+        .agg(F.count("*").alias("orders_together"))
+        .orderBy(F.col("orders_together").desc(),
+                 F.col("part_id_1"), F.col("part_id_2"))
+        .limit(25)
+    )
+
+
+QUERIES["market_basket_pairs"] = market_basket_pairs
+
+ORACLES["market_basket_pairs"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_id_1,
+           b.l_partkey AS part_id_2,
+           COUNT(*) AS orders_together
+    FROM li a
+    JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY orders_together DESC, part_id_1, part_id_2
+    LIMIT 25
+"""

@@ -529,3 +529,44 @@ ORACLES["events_json_typed"] = """
     GROUP BY 1
     ORDER BY k_bucket ASC NULLS FIRST
 """
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen WEEK, distinct
+    active users per (cohort week, weeks-since). Week index is exact
+    integer arithmetic on epoch days (unix_date div 7) so both engines
+    bucket identically; one groupBy for the cohort assignment, one
+    equality join back to the log, one distinct-aggregate — all keyed on
+    user_id/cohort."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    week_idx = F.expr("unix_date(cast(ts as date)) div 7")
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(week_idx).alias("cohort_week")))
+    return (
+        e.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week"),
+            (week_idx - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+QUERIES["events_retention_cohorts"] = events_retention_cohorts
+
+ORACLES["events_retention_cohorts"] = """
+    WITH log AS (
+        SELECT user_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week_idx
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(week_idx) AS cohort_week
+        FROM log GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           l.week_idx - f.cohort_week AS weeks_since,
+           COUNT(DISTINCT l.user_id) AS active_users
+    FROM log l JOIN firsts f ON l.user_id = f.user_id
+    GROUP BY f.cohort_week, l.week_idx - f.cohort_week
+    ORDER BY cohort_week, weeks_since
+"""
