@@ -167,3 +167,82 @@ ORACLES = {
         ) WHERE price_rank <= 100
     """,
 }
+
+
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows over order value per market segment: quartile
+    (ntile), percent_rank, and cume_dist for each order — the ranking
+    trio the reference's window-free dbt SQL cannot express. One window
+    partition per segment; deterministic total order (value, then key).
+    Emitted as integer basis points (floor) so both engines agree
+    bit-for-bit on the boundary rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", "c_mktsegment", "o_totalprice"))
+    w = (W.partitionBy("c_mktsegment")
+         .orderBy(F.col("o_totalprice"), F.col("o_orderkey")))
+    return (
+        j.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("total_price"),
+            F.ntile(4).over(w).alias("value_quartile"),
+            F.floor(F.percent_rank().over(w) * 10000).cast("long")
+            .alias("pct_rank_bps"),
+            F.floor(F.cume_dist().over(w) * 10000).cast("long")
+            .alias("cume_dist_bps"),
+        )
+        .orderBy("segment", "total_price", "order_id")
+        .limit(1000)
+    )
+
+
+QUERIES["order_value_distribution"] = order_value_distribution
+
+ORACLES["order_value_distribution"] = """
+    SELECT o_orderkey AS order_id,
+           c_mktsegment AS segment,
+           o_totalprice AS total_price,
+           NTILE(4) OVER w AS value_quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 10000) AS BIGINT)
+               AS pct_rank_bps,
+           CAST(FLOOR(CUME_DIST() OVER w * 10000) AS BIGINT)
+               AS cume_dist_bps
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY segment, total_price, order_id
+    LIMIT 1000
+"""
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram — the numeric companion of the
+    categorical frequency distribution (A7). Bucket arithmetic is plain
+    floor-division by a constant width (portable; DuckDB has no
+    width_bucket), so the plan is one map-side expression + one hash
+    aggregate."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(11))
+    return (
+        o.groupBy(bucket.cast("int").alias("price_bucket"))
+        .agg(F.count("*").alias("n_orders"),
+             F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"))
+        .orderBy("price_bucket")
+    )
+
+
+QUERIES["order_price_histogram"] = order_price_histogram
+
+ORACLES["order_price_histogram"] = """
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS INTEGER)
+               AS price_bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY price_bucket
+"""
