@@ -91,6 +91,11 @@ def main() -> None:
         "queries": {**timings, "medallion_pipeline_10k": pipeline_sec,
                     "corpus_prep_pipeline": corpus_sec},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "notes": ("total covers every registered query plus TWO "
+                  "materializing end-to-end pipelines (medallion 10k, "
+                  "corpus prep); the registry grew across rounds, so "
+                  "compare per-entry times, not totals"),
     }))
     spark.stop()
 
