@@ -669,3 +669,178 @@ ORACLES["market_basket_pairs"] = """
     ORDER BY orders_together DESC, part_id_1, part_id_2
     LIMIT 25
 """
+
+
+def segment_priority_pivot_dynamic(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """True relational PIVOT (`.pivot()` with an explicit value list —
+    at 100 TB you always pin the columns; letting Spark scan for distinct
+    pivot values costs an extra pass). One shuffle; each cell an
+    order count. Oracle spells the same table as conditional aggregates."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "segment",
+            *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long")
+              .alias(f"p{i + 1}_orders") for i, p in enumerate(pris)])
+        .orderBy("segment")
+    )
+
+
+QUERIES["segment_priority_pivot_dynamic"] = segment_priority_pivot_dynamic
+
+ORACLES["segment_priority_pivot_dynamic"] = """
+    SELECT c_mktsegment AS segment,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_orders,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_orders,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_orders,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_orders,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY segment
+"""
+
+
+def recon_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: the one-row reconciliation scalars become
+    (metric, value) rows — the shape reconciliation reports and metric
+    stores ingest. `stack` runs map-side on the single aggregated row."""
+    wide = recon_global_aggregates(spark, sf_dir).select(
+        F.col("row_count").cast("double").alias("row_count"),
+        F.col("distinct_orders").cast("double").alias("distinct_orders"),
+        F.col("sum_extended_price"),
+        F.col("sum_quantity"),
+        F.col("avg_discount"),
+    )
+    cols = wide.columns
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return (
+        wide.selectExpr(
+            f"stack({len(cols)}, {stack}) AS (metric, value)")
+        .orderBy("metric")
+    )
+
+
+QUERIES["recon_metrics_unpivot"] = recon_metrics_unpivot
+
+ORACLES["recon_metrics_unpivot"] = """
+    WITH wide AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
+               CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)
+                   AS distinct_orders,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
+                   AS sum_extended_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE)
+                   AS sum_quantity,
+               CAST(SUM(CAST(l_discount AS DECIMAL(24,4))) AS DOUBLE)
+                   / COUNT(l_discount) AS avg_discount
+        FROM lineitem
+    )
+    SELECT metric, value FROM (
+        SELECT 'row_count' AS metric, row_count AS value FROM wide
+        UNION ALL SELECT 'distinct_orders', distinct_orders FROM wide
+        UNION ALL SELECT 'sum_extended_price', sum_extended_price FROM wide
+        UNION ALL SELECT 'sum_quantity', sum_quantity FROM wide
+        UNION ALL SELECT 'avg_discount', avg_discount FROM wide
+    )
+    ORDER BY metric
+"""
+
+
+def orders_above_customer_average(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders exceeding 1.5x their OWN
+    customer's average) — expressed as the decorrelated join Catalyst
+    would produce anyway: per-customer averages (one hash aggregate)
+    joined back. The comparison uses exact decimal sums / counts so the
+    boundary rows agree across engines."""
+    o = load(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("n"))
+    return (
+        o.join(per_cust, "o_custkey")
+        # o_totalprice > 1.5 * (s / n)  ⇔  price * n * 2 > 3 * s  (exact)
+        .filter(F.col("o_totalprice").cast("decimal(18,2)")
+                * F.col("n") * 2 > 3 * F.col("s"))
+        .select(F.col("o_orderkey").alias("order_id"),
+                F.col("o_custkey").alias("customer_id"),
+                F.col("o_totalprice").alias("total_price"))
+        .orderBy("order_id")
+    )
+
+
+QUERIES["orders_above_customer_average"] = orders_above_customer_average
+
+ORACLES["orders_above_customer_average"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey AS order_id,
+           o.o_custkey AS customer_id,
+           o_totalprice AS total_price
+    FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n * 2 > 3 * s
+    ORDER BY order_id
+"""
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-based gap analysis: days between consecutive orders per
+    customer, plus each customer's min/max/avg gap — the churn-signal
+    query. One window (customer partition) + one hash aggregate."""
+    from pyspark.sql import Window as W
+    o = load(spark, sf_dir, "orders") \
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lag(F.col("o_orderdate").cast("date")).over(w))
+        .alias("gap_days"))
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(F.count("*").alias("n_gaps"),
+             F.min("gap_days").alias("min_gap_days"),
+             F.max("gap_days").alias("max_gap_days"),
+             # integer-exact mean in basis points of a day
+             F.expr("sum(gap_days) * 10000 div count(*)")
+             .alias("avg_gap_day_bps"))
+        .orderBy("customer_id")
+    )
+
+
+QUERIES["customer_order_gaps"] = customer_order_gaps
+
+ORACLES["customer_order_gaps"] = """
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE)
+                   - LAG(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                     ) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey AS customer_id,
+           COUNT(*) AS n_gaps,
+           MIN(gap_days) AS min_gap_days,
+           MAX(gap_days) AS max_gap_days,
+           SUM(gap_days) * 10000 // COUNT(*) AS avg_gap_day_bps
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    ORDER BY customer_id
+"""
