@@ -844,3 +844,42 @@ ORACLES["customer_order_gaps"] = """
     GROUP BY o_custkey
     ORDER BY customer_id
 """
+
+
+def sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (S12): the same pricing-summary logic
+    expressed as `spark.sql` text over registered views — proving both
+    front doors (DataFrame API and SQL) hit the identical Catalyst plans.
+    Views registered via `tables.register_views`."""
+    from ..tables import register_views
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag AS return_flag,
+               l_linestatus AS line_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
+                   AS sum_base_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY return_flag, line_status
+    """)
+
+
+QUERIES["sql_api_pricing_summary"] = sql_api_pricing_summary
+
+ORACLES["sql_api_pricing_summary"] = """
+    SELECT l_returnflag AS return_flag,
+           l_linestatus AS line_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
+               AS sum_base_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY return_flag, line_status
+"""

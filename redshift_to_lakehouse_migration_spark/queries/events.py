@@ -570,3 +570,36 @@ ORACLES["events_retention_cohorts"] = """
     GROUP BY f.cohort_week, l.week_idx - f.cohort_week
     ORDER BY cohort_week, weeks_since
 """
+
+
+def events_rolling_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the frame type rowsBetween can't express):
+    per event, how many of the SAME user's events landed in the preceding
+    hour — event-time ordering on integer epoch-microseconds, so the
+    frame bound is exact in both engines. One window partition per user."""
+    from pyspark.sql import Window as W
+    e = load(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts",
+                F.unix_micros("ts").alias("ts_us"))
+    hour_us = 3_600_000_000
+    w = (W.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-hour_us, 0))
+    return (
+        e.select("event_id", "user_id",
+                 F.count("*").over(w).alias("events_last_hour"))
+        .orderBy("event_id")
+    )
+
+
+QUERIES["events_rolling_hour_range"] = events_rolling_hour_range
+
+ORACLES["events_rolling_hour_range"] = """
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS events_last_hour
+    FROM events
+    ORDER BY event_id
+"""
