@@ -299,3 +299,53 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedupstream").collect()
     assert len(got) == 50  # 70 delivered rows -> 50 unique events
     assert len({r.event_id for r in got}) == 50
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Watermark semantics in append mode: once the watermark passes a
+    window's end, the window finalizes and emits exactly once; a row for
+    that window arriving LATER (beyond the watermark) is dropped — it
+    must neither re-emit nor change the finalized count."""
+    from datetime import datetime
+
+    schema = "event_id long, ts timestamp, user_id long, " \
+             "event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, h, m), 1, "click", 1.0)
+             for i, (h, m) in enumerate(rows)], schema)
+
+    land = tmp_path / "late_land"
+    target_ckpt = str(tmp_path / "late_ckpt")
+    sink = str(tmp_path / "late_sink")
+
+    def run_once():
+        src = spark.readStream.schema(mk([]).schema) \
+            .parquet(str(land / "*"))
+        out = windows.hourly_event_counts(src, watermark="30 minutes")
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .outputMode("append")
+             .option("checkpointLocation", target_ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: two rows in the 10:00 window + a 13:00 row that advances
+    # the watermark to 12:30, finalizing the 10:00 window at count 2
+    mk([(10, 0), (10, 20), (13, 0)]).write.parquet(str(land / "f1"))
+    run_once()
+
+    # batch 2: a LATE 10:15 row (far beyond the watermark) + a 15:00 row
+    # that finalizes the 13:00 window
+    mk([(10, 15), (15, 0)]).write.parquet(str(land / "f2"))
+    run_once()
+
+    result = spark.read.parquet(sink).collect()
+    got = {(r.window_start.hour, r.event_count) for r in result}
+    assert (10, 2) in got          # finalized without the late row
+    assert (10, 3) not in got      # late row did not mutate the window
+    assert (13, 1) in got          # 13:00 window finalized by batch 2
+    # the 10:00 window emitted exactly once
+    rows10 = [r for r in result if r.window_start.hour == 10]
+    assert len(rows10) == 1
