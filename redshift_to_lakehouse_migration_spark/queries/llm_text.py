@@ -315,3 +315,47 @@ ORACLES["corpus_prep"] = f"""
     GROUP BY g.lang
     ORDER BY g.lang
 """
+
+
+def dq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-quality scorecard in ONE fused aggregate pass (the
+    reference's job-per-check pattern collapsed, `silver/utils/
+    data_quality_checks.py` family applied to the documents table):
+    null/empty text, id uniqueness, language-vocabulary conformance,
+    n_chars consistency with the actual text length."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.agg(
+        F.count("*").alias("row_count"),
+        F.sum(F.when(text.isNull(), 1).otherwise(0)).cast("long")
+        .alias("null_text"),
+        F.sum(F.when(text.isNotNull() & (F.length(F.trim(text)) == 0), 1)
+              .otherwise(0)).cast("long").alias("empty_text"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("dup_doc_ids"),
+        F.sum(F.when(~F.col("lang").isin("en", "de", "es", "fr"), 1)
+              .otherwise(0)).cast("long").alias("bad_lang"),
+        F.sum(F.when(F.col("n_chars") != F.length(text), 1).otherwise(0))
+        .cast("long").alias("n_chars_mismatch"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+QUERIES["dq_documents"] = dq_documents
+
+ORACLES["dq_documents"] = """
+    SELECT COUNT(*) AS row_count,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_text,
+           CAST(SUM(CASE WHEN text IS NOT NULL
+                          AND length(trim(text)) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+           COUNT(*) - COUNT(DISTINCT doc_id) AS dup_doc_ids,
+           CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+           CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chars_mismatch,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+"""
