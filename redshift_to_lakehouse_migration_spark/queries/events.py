@@ -603,3 +603,52 @@ ORACLES["events_rolling_hour_range"] = """
     FROM events
     ORDER BY event_id
 """
+
+
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical monitoring: flag days whose per-type event count
+    exceeds mean + 2 population-stddev for that type. The z-score gate is
+    INTEGER-exact — x > mu + 2*sigma  ⇔  (n*x - S) > 0 AND
+    (n*x - S)^2 > 4*(n*Q - S^2), with S = sum of counts, Q = sum of
+    squared counts — so borderline days can never flip between engines.
+    Two hash aggregates (day-counts, then per-type moments broadcast)."""
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").alias("x")))
+    moments = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"))
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_term = 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        daily.join(F.broadcast(moments), "event_type")
+        .filter((dev > 0) & (dev * dev > var_term))
+        .select("event_type", "day", F.col("x").alias("event_count"),
+                F.col("s").alias("type_total"),
+                F.col("n").alias("n_days"))
+        .orderBy("event_type", "day")
+    )
+
+
+QUERIES["events_daily_anomalies"] = events_daily_anomalies
+
+ORACLES["events_daily_anomalies"] = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), moments AS (
+        SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.x AS event_count,
+           m.s AS type_total, m.n AS n_days
+    FROM daily d JOIN moments m ON d.event_type = m.event_type
+    WHERE (m.n * d.x - m.s) > 0
+      AND (m.n * d.x - m.s) * (m.n * d.x - m.s)
+          > 4 * (m.n * m.q - m.s * m.s)
+    ORDER BY d.event_type, d.day
+"""
