@@ -883,3 +883,62 @@ ORACLES["sql_api_pricing_summary"] = """
     GROUP BY l_returnflag, l_linestatus
     ORDER BY return_flag, line_status
 """
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent analytics: each nation's share of its region's
+    revenue — a window over an aggregate (the OLAP ratio-to-report
+    shape). Revenue sums are exact decimals; the share is one double
+    division over a window-summed exact total, emitted in floor bps."""
+    from pyspark.sql import Window as W
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    per_nation = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("rev"))
+    )
+    w = W.partitionBy("region")
+    return (
+        per_nation
+        .withColumn("region_rev", F.sum("rev").over(w))
+        .select("region", "nation",
+                F.col("rev").cast("double").alias("nation_revenue"),
+                F.col("region_rev").cast("double").alias("region_revenue"),
+                # divide as IEEE doubles: decimal/decimal result scale is
+                # engine-specific and could flip a floor boundary
+                F.floor(F.col("rev").cast("double") * 10000
+                        / F.col("region_rev").cast("double"))
+                .cast("long").alias("share_bps"))
+        .orderBy("region", "nation")
+    )
+
+
+QUERIES["nation_market_share"] = nation_market_share
+
+ORACLES["nation_market_share"] = """
+    WITH per_nation AS (
+        SELECT r_name AS region, n_name AS nation,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS nation_revenue,
+           CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+               AS region_revenue,
+           CAST(FLOOR(CAST(rev AS DOUBLE) * 10000
+                      / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE))
+                AS BIGINT) AS share_bps
+    FROM per_nation
+    ORDER BY region, nation
+"""

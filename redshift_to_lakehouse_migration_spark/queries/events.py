@@ -652,3 +652,53 @@ ORACLES["events_daily_anomalies"] = """
           > 4 * (m.n * m.q - m.s * m.s)
     ORDER BY d.event_type, d.day
 """
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: top-20 3-step event-type paths across
+    per-user daily journeys. Each journey is one ordered array built by a
+    single hash aggregate (array_sort over (ts, event_id) structs — the
+    deterministic order), trigrams come from a map-side transform (no
+    second explode-shuffle of raw events), and one final count ranks the
+    paths. The funnel-discovery complement of `events_conversion_funnel`."""
+    e = load(spark, sf_dir, "events")
+    journeys = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("seq"))
+        .select(F.transform("seq", lambda s: s["event_type"])
+                .alias("types"))
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("types") - 2),
+        lambda i: F.concat_ws(">", F.slice(F.col("types"), i, 3)))
+    return (
+        journeys.filter(F.size("types") >= 3)
+        .select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+QUERIES["event_path_trigrams"] = event_path_trigrams
+
+ORACLES["event_path_trigrams"] = """
+    WITH journeys AS (
+        SELECT list(event_type ORDER BY ts, event_id) AS types
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT path, COUNT(*) AS n_journeys
+    FROM (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(types) - 2),
+                   i -> array_to_string(types[i:i+2], '>'))) AS path
+        FROM journeys
+        WHERE len(types) >= 3
+    )
+    GROUP BY path
+    ORDER BY n_journeys DESC, path
+    LIMIT 20
+"""
