@@ -90,3 +90,15 @@ def test_spread_parallelizes_small_scans_only(spark):
     out = spread(big, spark)
     assert out.rdd.getNumPartitions() == target + 4
     assert out is big  # no extra shuffle inserted
+
+
+def test_tune_for_session_applies_runtime_confs(spark):
+    """Any externally-built session (the driver's) must pick up the
+    runtime-settable engine confs on first table load: UTC timezone and
+    the InferFiltersFromGenerate exclusion (a measured 3x regression on
+    gram/shingle queries if it re-appears)."""
+    from redshift_to_lakehouse_migration_spark.session import tune_for_session
+    tune_for_session(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", "")
