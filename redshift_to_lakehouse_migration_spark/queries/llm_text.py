@@ -359,3 +359,59 @@ ORACLES["dq_documents"] = """
            MAX(n_chars) AS max_chars
     FROM documents
 """
+
+
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the published Gopher-rules
+    heuristic family): the fraction of word 2-grams that are duplicates
+    of an earlier 2-gram in the SAME document. Degenerate, loopy text
+    (boilerplate, keyboard mash, decoding failures) scores high and gets
+    flagged. The gate is integer-exact — (total - distinct) * 5 > total
+    ⇔ duplicate fraction > 20% — so borderline docs can't flip engines.
+    Plan: map-side gram arrays, one hash aggregate keyed by doc."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    per_doc = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", "lang",
+                F.size(grams).cast("long").alias("total_2grams"),
+                F.size(F.array_distinct(grams)).cast("long")
+                .alias("distinct_2grams"))
+    )
+    dup = F.col("total_2grams") - F.col("distinct_2grams")
+    return per_doc.select(
+        "doc_id", "lang", "total_2grams", "distinct_2grams",
+        dup.alias("duplicate_2grams"),
+        (dup * 5 > F.col("total_2grams")).alias("flagged_repetitive"),
+    ).orderBy("doc_id")
+
+
+QUERIES["doc_repetition_filter"] = doc_repetition_filter
+
+ORACLES["doc_repetition_filter"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang,
+               list_transform(generate_series(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+1], ' ')) AS g
+        FROM toks
+        WHERE len(t) >= 2
+    )
+    SELECT doc_id, lang,
+           CAST(len(g) AS BIGINT) AS total_2grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS distinct_2grams,
+           CAST(len(g) - len(list_distinct(g)) AS BIGINT)
+               AS duplicate_2grams,
+           (len(g) - len(list_distinct(g))) * 5 > len(g)
+               AS flagged_repetitive
+    FROM grams
+    ORDER BY doc_id
+"""
