@@ -836,9 +836,10 @@ ORACLES["customer_order_gaps"] = """
     )
     SELECT o_custkey AS customer_id,
            COUNT(*) AS n_gaps,
-           MIN(gap_days) AS min_gap_days,
-           MAX(gap_days) AS max_gap_days,
-           SUM(gap_days) * 10000 // COUNT(*) AS avg_gap_day_bps
+           CAST(MIN(gap_days) AS INTEGER) AS min_gap_days,
+           CAST(MAX(gap_days) AS INTEGER) AS max_gap_days,
+           CAST(SUM(gap_days) * 10000 // COUNT(*) AS BIGINT)
+               AS avg_gap_day_bps
     FROM gaps
     WHERE gap_days IS NOT NULL
     GROUP BY o_custkey
