@@ -19,6 +19,21 @@ def test_entry_runs_and_returns_rows(spark):
     assert df.count() > 0
 
 
+def test_driver_sample_priority_is_front_of_registry():
+    """The driver's correctness gate samples the first 50 registry
+    entries; DRIVER_SAMPLE_PRIORITY pins which queries get a driver row
+    this round and must therefore (a) fit in the sample window and
+    (b) actually lead the iteration order."""
+    from redshift_to_lakehouse_migration_spark.queries import (
+        DRIVER_SAMPLE_PRIORITY,
+        QUERIES,
+    )
+    assert len(DRIVER_SAMPLE_PRIORITY) <= 50
+    assert len(set(DRIVER_SAMPLE_PRIORITY)) == len(DRIVER_SAMPLE_PRIORITY)
+    head = list(QUERIES)[: len(DRIVER_SAMPLE_PRIORITY)]
+    assert head == list(DRIVER_SAMPLE_PRIORITY)
+
+
 def test_registry_contract(spark):
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
