@@ -61,4 +61,15 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with labels still moving means the returned
+        # components would be WRONG (a long near-dup chain only partially
+        # collapsed), and downstream canonical-keeper selection would let
+        # non-canonical near-dups survive silently. Fail loudly instead:
+        # the convergence probe already ran this round, so this costs nothing.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} label(s) still changing); raise max_iter — "
+            "component diameter exceeds the iteration budget"
+        )
     return labels

@@ -500,16 +500,27 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON parsing at scale: `from_json` with an explicit schema
     parses the props document ONCE into a struct (vs per-path
     `get_json_object` re-parsing in `events_json_props`), then aggregates
-    by a derived bucket. Corrupt documents become NULL structs and are
-    counted, not dropped silently."""
+    by a derived bucket.
+
+    Corrupt-document accounting: PERMISSIVE `from_json` never returns a
+    NULL struct for malformed input — it returns a struct of NULL fields —
+    so `p IS NULL` undercounts. The reliable signal is the corrupt-record
+    column: malformed documents land verbatim in `_corrupt` while valid
+    ones leave it NULL. `unparseable` therefore counts rows where props
+    exists but failed to parse (the DuckDB oracle's twin predicate is
+    `NOT json_valid(props)`)."""
     e = load(spark, sf_dir, "events")
-    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    parsed = e.withColumn(
+        "p",
+        F.from_json("props", "k INT, _corrupt STRING",
+                    {"columnNameOfCorruptRecord": "_corrupt"}))
     return (
         parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n_events"),
              F.min("p.k").alias("min_k"),
              F.max("p.k").alias("max_k"),
-             F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+             F.sum(F.when(F.col("props").isNotNull()
+                          & F.col("p._corrupt").isNotNull(), 1).otherwise(0))
              .cast("long").alias("unparseable"))
         .orderBy(F.col("k_bucket").asc_nulls_first())
     )
@@ -517,15 +528,24 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_json_typed"] = events_json_typed
 
+# json_valid guards every extraction: DuckDB's json_extract_string ERRORS
+# on malformed JSON rather than returning NULL, so the unguarded form
+# can't even run on a corpus with corrupt documents.
 ORACLES["events_json_typed"] = """
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
-               AS k_bucket,
+    WITH parsed AS (
+        SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k')
+                                  AS INTEGER) END AS k,
+               CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+                    THEN 1 ELSE 0 END AS is_corrupt
+        FROM events
+    )
+    SELECT k % 10 AS k_bucket,
            COUNT(*) AS n_events,
-           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS unparseable
-    FROM events
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           CAST(SUM(is_corrupt) AS BIGINT) AS unparseable
+    FROM parsed
     GROUP BY 1
     ORDER BY k_bucket ASC NULLS FIRST
 """

@@ -71,8 +71,12 @@ def mix_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, and each source's share of the mixed corpus in basis points.
     Integer weights keep every sum exact (BIGINT) so the mix shares are
     bit-identical across engines; the share itself is one integer division
-    per row. Plan: one hash aggregate + broadcast of the one-row total."""
-    d = load(spark, sf_dir, "documents")
+    per row. Plan: one hash aggregate + broadcast of the one-row total.
+
+    NULL-text docs are excluded up front: Spark's size(split(NULL)) is -1
+    while SQL engines yield NULL, so an unfiltered sum silently diverges
+    on any corpus with NULL docs (dq_documents anticipates them)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     # curated/high-quality buckets get 3x epochs, the rest 1x
     weight = F.when(F.col("source").isin("src1", "src2", "src3"), F.lit(3)) \
@@ -106,8 +110,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs, tokens, fill) drive the padding-waste metric training teams
     watch. One window (partitioned by lang — bounded state, streaming
     frame) + one hash aggregate; at 100 TB the window key would gain a
-    shard component (lang, file_group) to bound partition size."""
-    d = load(spark, sf_dir, "documents")
+    shard component (lang, file_group) to bound partition size.
+
+    NULL-text docs are excluded (size(split(NULL)) = -1 in Spark vs NULL
+    in SQL — a negative token count would corrupt every bin offset)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -136,8 +143,9 @@ def pack_sequences_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the id list for lineage. collect_list carries (doc_id, text)
     structs; array_sort makes the in-bin order deterministic regardless of
     partitioning — the shuffle is the same one hash aggregate as
-    `pack_sequences`, just carrying text payloads."""
-    d = load(spark, sf_dir, "documents")
+    `pack_sequences`, just carrying text payloads. NULL-text docs are
+    excluded, matching pack_sequences (and the -1-vs-NULL engine delta)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -206,6 +214,7 @@ ORACLES = {
                    SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
                             AS BIGINT)) AS tokens
             FROM documents
+            WHERE text IS NOT NULL
             GROUP BY 1, 2
         ),
         weighted AS (
@@ -235,6 +244,7 @@ ORACLES = {
                                  AS BIGINT) AS BIGINT)
                        // {PACK_BUDGET} AS bin_id
             FROM documents
+            WHERE text IS NOT NULL
         )
         SELECT lang, bin_id,
                list(doc_id ORDER BY doc_id) AS doc_ids,
@@ -251,6 +261,7 @@ ORACLES = {
                    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
                         AS BIGINT) AS n_tokens
             FROM documents
+            WHERE text IS NOT NULL
         ),
         binned AS (
             SELECT lang, n_tokens,

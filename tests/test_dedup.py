@@ -5,6 +5,7 @@ must not collapse."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from redshift_to_lakehouse_migration_spark.llm import dedup as D
@@ -184,3 +185,14 @@ def test_connected_components_converges_on_long_chain(spark):
     comp = connected_components(edges, "a", "b")
     assert comp.select("comp").distinct().count() == 1
     assert comp.agg({"comp": "max"}).collect()[0][0] == 0
+
+
+def test_connected_components_raises_when_iteration_budget_too_small(spark):
+    """Unconverged labels are WRONG labels (a partially-collapsed chain
+    would let non-canonical near-dups survive); the loop must raise, not
+    silently return, when max_iter is exhausted mid-propagation."""
+    from redshift_to_lakehouse_migration_spark.llm.components import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "a", "b", max_iter=2).collect()

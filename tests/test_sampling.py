@@ -96,3 +96,27 @@ def test_packing_bins_are_contiguous_and_start_within_budget(spark):
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"))
         .alias("t")).collect()[0].t
     assert total == expected
+
+
+def test_null_text_docs_do_not_poison_token_sums(spark, tmp_path):
+    """Spark's size(split(NULL)) is -1 (SQL engines yield NULL): a corpus
+    with NULL-text docs must not see token sums shrink, bin offsets shift,
+    or mix shares drift. NULL docs are excluded up front in mix/pack."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "src1", 16),
+         (2, None, "en", "src1", 0),
+         (3, "delta epsilon", "en", "src9", 13),
+         (4, None, "xx", "src9", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    mixed = {r.source: r for r in mix_datasets(spark, sf).collect()}
+    assert mixed["src1"].docs == 1 and mixed["src1"].tokens == 3
+    assert mixed["src9"].docs == 1 and mixed["src9"].tokens == 2
+    assert mixed["src1"].mix_share_bps + mixed["src9"].mix_share_bps <= 10000
+    assert all(r.tokens > 0 for r in mixed.values())
+
+    bins = pack_sequences(spark, sf).collect()
+    assert sum(b.bin_tokens for b in bins) == 5  # 3 + 2, no -1 contamination
+    assert all(b.bin_tokens > 0 for b in bins)
