@@ -18,10 +18,25 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE = (1 << 31) - 1
+
+# A band bucket larger than this switches from all-pairs to a star around
+# the bucket's min-doc representative. A degenerate band key — thousands of
+# near-identical boilerplate docs, which a web-scale corpus always contains
+# — would otherwise emit B² candidate rows on ONE shuffle partition; AQE
+# skew-split mitigates but does not bound it. The star keeps every member
+# connected to the representative (what downstream clustering needs) at
+# B−1 pairs, and the exact verify still scores each pair.
+DEFAULT_BUCKET_CAP = 512
+
+# Shingles seen in more than this many docs within a block carry no
+# discriminating signal (boilerplate) but quadratic join cost; they are
+# dropped from BOTH the pair join and the per-doc size denominators, so
+# Jaccard stays internally consistent. Mirrored in the DuckDB oracles.
+DEFAULT_SHINGLE_DF_CAP = 1024
 
 
 def norm_text(text: str | Column) -> Column:
@@ -69,11 +84,21 @@ def exact_duplicates(docs: DataFrame, id_col: str,
     )
 
 
-def jaccard_pairs(sh: DataFrame, blocks: DataFrame,
-                  threshold: float) -> DataFrame:
+def jaccard_pairs(sh: DataFrame, blocks: DataFrame, threshold: float,
+                  shingle_df_cap: int = DEFAULT_SHINGLE_DF_CAP) -> DataFrame:
     """Pairwise Jaccard within blocks. ``sh``: (doc_id, shingle);
-    ``blocks``: (doc_id, block). Returns pairs ≥ threshold."""
+    ``blocks``: (doc_id, block). Returns pairs ≥ threshold.
+
+    Shingles with within-block document frequency above ``shingle_df_cap``
+    are excluded from the join AND the size denominators: a shingle shared
+    by d docs costs d² join rows on one partition, and past the cap it is
+    boilerplate with no discriminating power (identical docs are the
+    exact-dup fast path's job, not Jaccard's). One extra window pass over
+    the shingle shuffle — linear state, no new shuffle key."""
     sh = sh.join(blocks, "doc_id")
+    w_df = Window.partitionBy("block", "shingle")
+    sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+          .filter(F.col("__df") <= shingle_df_cap).drop("__df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -123,21 +148,56 @@ def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],
         "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_key)")
 
 
-def _lsh_candidate_verify(sh: DataFrame, bands: DataFrame,
-                          threshold: float) -> DataFrame:
-    """Shared LSH tail: banded candidate self-join → exact-Jaccard verify
-    restricted to candidates. ``sh``: (doc_id, shingle); ``bands``:
-    (doc_id, band_id, band_key)."""
-    cand = (
-        bands.alias("x").join(
-            bands.alias("y"),
+def capped_band_candidates(bands: DataFrame, bucket_cap: int,
+                           payload: tuple[str, ...] = ()) -> DataFrame:
+    """Candidate pairs from a banded signature table, with bounded
+    per-bucket fan-out. ``bands``: (doc_id, band_id, band_key, *payload).
+
+    Buckets of ≤ ``bucket_cap`` docs self-join all-pairs as usual. An
+    OVERSIZED bucket (degenerate band key: boilerplate near-identical docs
+    en masse) emits a star instead — every member paired with the bucket's
+    min-doc representative — so its candidate count is B−1, not B(B−1)/2,
+    while every member stays reachable from the representative (which is
+    what connected-components clustering consumes). Bucket sizes come from
+    one window pass over the band shuffle: linear state, no extra shuffle.
+
+    ``payload`` columns ride along as ``<col>_1``/``<col>_2`` (the star
+    representative contributes the ``_1`` side).
+    """
+    w = Window.partitionBy("band_id", "band_key")
+    ann = bands.select(
+        "doc_id", "band_id", "band_key", *payload,
+        F.count(F.lit(1)).over(w).alias("__bn"),
+        F.min(F.struct("doc_id", *payload)).over(w).alias("__rep"))
+    small = ann.filter(F.col("__bn") <= bucket_cap)
+    cand_small = (
+        small.alias("x").join(
+            small.alias("y"),
             (F.col("x.band_id") == F.col("y.band_id"))
             & (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_id_1"),
-                F.col("y.doc_id").alias("doc_id_2"))
-        .distinct()
+                F.col("y.doc_id").alias("doc_id_2"),
+                *[F.col(f"x.{c}").alias(f"{c}_1") for c in payload],
+                *[F.col(f"y.{c}").alias(f"{c}_2") for c in payload])
     )
+    cand_big = (
+        ann.filter((F.col("__bn") > bucket_cap)
+                   & (F.col("doc_id") > F.col("__rep.doc_id")))
+        .select(F.col("__rep.doc_id").alias("doc_id_1"),
+                F.col("doc_id").alias("doc_id_2"),
+                *[F.col(f"__rep.{c}").alias(f"{c}_1") for c in payload],
+                *[F.col(c).alias(f"{c}_2") for c in payload])
+    )
+    return cand_small.unionByName(cand_big).distinct()
+
+
+def _lsh_candidate_verify(sh: DataFrame, bands: DataFrame, threshold: float,
+                          bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Shared LSH tail: banded candidate self-join (bucket-capped) →
+    exact-Jaccard verify restricted to candidates. ``sh``:
+    (doc_id, shingle); ``bands``: (doc_id, band_id, band_key)."""
+    cand = capped_band_candidates(bands, bucket_cap)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (
         cand.join(sh.alias("s1"), F.col("doc_id_1") == F.col("s1.doc_id"))
@@ -261,11 +321,14 @@ def simhash_signatures(docs: DataFrame, id_col: str,
     )
 
 
-def simhash_near_pairs(signatures: DataFrame,
-                       max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
+                       bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """Hamming-near pairs via banded equality join: any shared 15-bit band
     → candidate; bit_count(xor) filter verifies. With 4 bands, any pair
-    within hamming distance 3 shares ≥1 band (pigeonhole) — full recall.
+    within hamming distance 3 shares ≥1 band (pigeonhole) — full recall
+    for buckets within ``bucket_cap``; oversized buckets (mass-duplicated
+    boilerplate) degrade to star-to-representative candidates via
+    :func:`capped_band_candidates`, bounding the fan-out.
 
     Bands are unpivoted with ``stack`` so candidate generation is ONE
     equality self-join on (band_id, band_key) instead of four separate
@@ -275,15 +338,9 @@ def simhash_near_pairs(signatures: DataFrame,
         "doc_id", "simhash",
         "stack(4, 0, band_0, 1, band_1, 2, band_2, 3, band_3) "
         "AS (band_id, band_key)")
-    a, b = bands.alias("a"), bands.alias("b")
-    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cand = capped_band_candidates(bands, bucket_cap, payload=("simhash",))
+    dist = F.bit_count(F.col("simhash_1").bitwiseXOR(F.col("simhash_2")))
     return (
-        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter(dist <= max_hamming)
-        .select(F.col("a.doc_id").alias("doc_id_1"),
-                F.col("b.doc_id").alias("doc_id_2"),
-                dist.alias("hamming_distance"))
-        .distinct()
+        cand.filter(dist <= max_hamming)
+        .select("doc_id_1", "doc_id_2", dist.alias("hamming_distance"))
     )

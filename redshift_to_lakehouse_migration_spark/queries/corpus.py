@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..llm.dedup import DEFAULT_SHINGLE_DF_CAP
 from ..tables import load, spread
 from .curation import BENCH_MOD
 from .llm_text import _STOP_RE
@@ -62,12 +63,20 @@ ORACLES = {
              for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
             AS shingle
         FROM tok
+    ), shf AS (
+        -- both engines drop boilerplate shingles (within-block document
+        -- frequency above the cap) before the quadratic pair join
+        SELECT doc_id, block, shingle FROM (
+            SELECT doc_id, block, shingle,
+                   COUNT(*) OVER (PARTITION BY block, shingle) AS df
+            FROM sh)
+        WHERE df <= {DEFAULT_SHINGLE_DF_CAP}
     ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shf GROUP BY doc_id
     ), rawpairs AS (
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                COUNT(*) AS shared_shingles
-        FROM sh a JOIN sh b
+        FROM shf a JOIN shf b
           ON a.shingle = b.shingle AND a.block = b.block
          AND a.doc_id < b.doc_id
         GROUP BY 1, 2

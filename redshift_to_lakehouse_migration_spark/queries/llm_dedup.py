@@ -103,6 +103,18 @@ QUERIES = {
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+# Both engines drop shingles whose within-block document frequency exceeds
+# the cap (quadratic-join boilerplate; see llm/dedup.py) — the filter is
+# deterministic, so the oracle mirrors it exactly.
+_DF_CAP = D.DEFAULT_SHINGLE_DF_CAP
+_SHF_SQL = f"""
+        ), shf AS (
+            SELECT doc_id, block, shingle FROM (
+                SELECT doc_id, block, shingle,
+                       COUNT(*) OVER (PARTITION BY block, shingle) AS df
+                FROM sh)
+            WHERE df <= {_DF_CAP}"""
+
 ORACLES = {
     "dedup_exact": f"""
         SELECT
@@ -128,13 +140,13 @@ ORACLES = {
                 [array_to_string(toks[i:i+2], ' ')
                  for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
                 AS shingle
-            FROM tok
+            FROM tok{_SHF_SQL}
         ), sizes AS (
-            SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+            SELECT doc_id, COUNT(*) AS n_shingles FROM shf GROUP BY doc_id
         ), pairs AS (
             SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                    COUNT(*) AS shared_shingles
-            FROM sh a JOIN sh b
+            FROM shf a JOIN shf b
               ON a.shingle = b.shingle AND a.block = b.block
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -166,13 +178,13 @@ ORACLES["dedup_clusters"] = f"""
             [array_to_string(toks[i:i+2], ' ')
              for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
             AS shingle
-        FROM tok
+        FROM tok{_SHF_SQL}
     ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shf GROUP BY doc_id
     ), rawpairs AS (
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                COUNT(*) AS shared_shingles
-        FROM sh a JOIN sh b
+        FROM shf a JOIN shf b
           ON a.shingle = b.shingle AND a.block = b.block
          AND a.doc_id < b.doc_id
         GROUP BY 1, 2

@@ -24,9 +24,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. UTC session TZ is pinned so timestamp columns
     collect identically regardless of host timezone.
 
-    The ``events`` table stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read nanos as long (``legacy.parquet.nanosAsLong``)
-    and rebuild a microsecond timestamp — the same truncation DuckDB applies.
+    The ``events`` table stores TIMESTAMP(NANOS), which different Spark
+    versions surface differently: as a rejected type (older vectorized
+    reader — ``legacy.parquet.nanosAsLong`` reads it as bigint we rebuild
+    from), or as micro-truncated TIMESTAMP_NTZ (4.1+). Both are normalized
+    to a session-TZ TIMESTAMP here so every downstream query sees ONE type
+    (unix_micros and friends reject NTZ) with the same micro-truncation
+    DuckDB applies; with the UTC pin the wall-clock values are identical
+    either way.
     """
     tune_for_session(spark)
     try:
@@ -34,9 +39,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -196,3 +196,65 @@ def test_connected_components_raises_when_iteration_budget_too_small(spark):
         [(i, i + 1) for i in range(11)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, "a", "b", max_iter=2).collect()
+
+
+# --- pathological skew: mass-duplicated boilerplate (the 100-TB killer) ---
+#
+# A degenerate band key (thousands of near-identical docs — exactly what a
+# web crawl contains) must NOT produce B² candidate rows on one shuffle
+# partition. Oversized buckets collapse to a star around the min-doc
+# representative: B−1 candidates, full connectivity for clustering.
+
+N_PATHOLOGICAL = 10_000
+
+
+def _identical_corpus(spark, n=N_PATHOLOGICAL):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text"))
+
+
+def test_minhash_pathological_bucket_collapses_to_star(spark):
+    pairs = D.minhash_lsh_pairs(_identical_corpus(spark), "doc_id", "text",
+                                threshold=0.5).collect()
+    # star, not all-pairs: N−1 candidates (vs ~50M uncapped), every doc
+    # reachable from the representative, and the verify still scores 1.0
+    assert len(pairs) == N_PATHOLOGICAL - 1
+    assert all(r.doc_id_1 == 0 for r in pairs)
+    assert all(r.jaccard == 1.0 for r in pairs)
+    assert {r.doc_id_2 for r in pairs} == set(range(1, N_PATHOLOGICAL))
+
+
+def test_simhash_pathological_bucket_collapses_to_star(spark):
+    sig = D.simhash_signatures(_identical_corpus(spark), "doc_id", "text")
+    pairs = D.simhash_near_pairs(sig, max_hamming=3).collect()
+    assert len(pairs) == N_PATHOLOGICAL - 1
+    assert all(r.doc_id_1 == 0 and r.hamming_distance == 0 for r in pairs)
+
+
+def test_small_buckets_keep_all_pairs_semantics(spark):
+    """The cap must be a no-op below the threshold: a 5-doc bucket still
+    yields all C(5,2) pairs."""
+    docs = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text"))
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert pairs.count() == 10
+
+
+def test_jaccard_shingle_df_cap_drops_boilerplate(spark):
+    """Shingles shared by more docs than the cap within a block are
+    boilerplate: dropping them bounds the d²-row shingle join. Identical
+    docs are the exact-dup fast path's job, so zero pairs here is right —
+    and a planted LOW-frequency near-dup in the same corpus must survive."""
+    n = 3000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("norm"))
+    near = spark.createDataFrame(
+        [(100001, "rare uncommon tokens here exactly matching pair one"),
+         (100002, "rare uncommon tokens here exactly matching pair two")],
+        "doc_id long, norm string")
+    docs = base.unionByName(near)
+    sh = D.shingles(docs, "doc_id", "norm")
+    blocks = docs.select("doc_id", F.substring("norm", 1, 16).alias("block"))
+    got = D.jaccard_pairs(sh, blocks, threshold=0.4, shingle_df_cap=1024) \
+        .collect()
+    assert {(r.doc_id_1, r.doc_id_2) for r in got} == {(100001, 100002)}
