@@ -42,6 +42,33 @@ def masked(col: str | Column, mask_fn, unmasked: bool) -> Column:
     return c if unmasked else mask_fn(c)
 
 
+def create_masked_view(spark: SparkSession, base, view_name: str,
+                       name_cols: tuple[str, ...] = (),
+                       email_cols: tuple[str, ...] = (),
+                       unmasked: bool = False) -> None:
+    """Secure masked VIEW — the `v_dim_policy_masked` twin
+    (`governance/access_controls.sql:76-105`): PII columns pass through
+    the registered mask_* SQL functions, everything else unchanged.
+    The reference gates on ``IS_MEMBER('pii_authorized')`` inside the
+    functions; OSS Spark has no group membership, so the role check is the
+    explicit ``unmasked`` flag — a privileged session builds the view
+    pass-through, an unprivileged one masked, same consumer SQL either way.
+    """
+    register_sql_functions(spark)
+    base_view = f"__{view_name}_base"
+    base.createOrReplaceTempView(base_view)
+    cols = []
+    for c in base.columns:
+        if not unmasked and c in name_cols:
+            cols.append(f"mask_name({c}) AS {c}")
+        elif not unmasked and c in email_cols:
+            cols.append(f"mask_email({c}) AS {c}")
+        else:
+            cols.append(c)
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {view_name} AS "
+              f"SELECT {', '.join(cols)} FROM {base_view}")
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """SQL-surface twins (CREATE FUNCTION ... RETURN, Spark ≥3.5)."""
     spark.sql("""

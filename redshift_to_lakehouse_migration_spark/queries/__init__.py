@@ -80,6 +80,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "audit_object_access",
     "audit_principal_last7d",
     "audit_anomalous_access",
+    # new in round 3: secure masked view (v_dim_policy_masked twin)
+    "masked_dim_customer_view",
     # never driver-sampled: documents / text
     "dq_documents",
     "doc_repetition_filter",

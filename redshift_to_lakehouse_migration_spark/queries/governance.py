@@ -104,10 +104,28 @@ def audit_anomalous_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def masked_dim_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secure masked VIEW over the customer dim — the registered twin of
+    `v_dim_policy_masked` (`governance/access_controls.sql:76-105`): the
+    full gold dim goes through ``create_masked_view`` (SQL mask functions +
+    CREATE VIEW, role flag off) and the consumer reads the VIEW, not the
+    base table. PII (customer_name) is masked; everything else passes
+    through unchanged. Plan cost = the dim build; masking is one
+    expression layer on top, no extra shuffle."""
+    from ..masking import create_masked_view
+    from .dims import dim_customer
+    dim = dim_customer(spark, sf_dir)
+    create_masked_view(spark, dim, "v_dim_customer_masked",
+                       name_cols=("customer_name",), unmasked=False)
+    return spark.sql("SELECT * FROM v_dim_customer_masked") \
+        .orderBy("customer_id")
+
+
 QUERIES = {
     "audit_object_access": audit_object_access,
     "audit_principal_last7d": audit_principal_last7d,
     "audit_anomalous_access": audit_anomalous_access,
+    "masked_dim_customer_view": masked_dim_customer_view,
 }
 
 _LOG = """
@@ -170,3 +188,25 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+# The masked view replays the dim_customer oracle (already driver-green)
+# with the mask_name twin applied to the one PII column.
+from .dims import ORACLES as _DIM_ORACLES  # noqa: E402
+
+ORACLES["masked_dim_customer_view"] = f"""
+    WITH dim AS ({_DIM_ORACLES["dim_customer"]})
+    SELECT customer_sk, customer_id,
+           CASE WHEN customer_name IS NULL OR length(customer_name) = 0
+                THEN NULL
+                ELSE concat(substr(customer_name, 1, 1),
+                            repeat('*', greatest(length(customer_name) - 1,
+                                                 0)))
+           END AS customer_name,
+           nation_name, market_segment, account_balance, order_count,
+           fulfilled_total, open_total, urgent_order_count,
+           first_order_date, last_order_date, avg_order_value,
+           customer_tier, activity_status, tenure_days,
+           effective_start_date, effective_end_date, is_current
+    FROM dim
+    ORDER BY customer_id
+"""
