@@ -136,6 +136,49 @@ def adc_topk_within_lists(codes: DataFrame, corpus_lists: DataFrame,
     )
 
 
+def refine_topk(candidates: DataFrame, corpus: DataFrame, probes: DataFrame,
+                id_col: str, vec_col: str, k: int,
+                round_digits: int | None = 9) -> DataFrame:
+    """Exact re-rank of ADC candidates — the standard IVF-PQ refine stage:
+    the code-only ADC pass over-fetches candidates (k·factor), then ONLY
+    those rows join back their full-precision vectors for an exact cosine
+    top-k. Quantized codes bound the candidate set; floats are touched for
+    a few dozen rows per probe, so the corpus is never rescanned and the
+    shuffle stays candidate-sized. This recovers the quantization loss:
+    recall approaches plain IVF at the same nprobe while the corpus-wide
+    scan still runs on M-byte codes.
+
+    ``candidates``: (query_id, neighbor_id[, ...]) from `adc_topk` /
+    `adc_topk_within_lists` called with k·factor.
+    """
+    from pyspark.sql import Window as W
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("__n_emb"))
+    pvec = probes.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("__q_emb"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    sim = _dot(F.col("__q_emb"), F.col("__n_emb")) / (
+        F.sqrt(_dot(F.col("__q_emb"), F.col("__q_emb")))
+        * F.sqrt(_dot(F.col("__n_emb"), F.col("__n_emb"))))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        candidates.select("query_id", "neighbor_id")
+        .join(cvec, "neighbor_id")
+        .join(F.broadcast(pvec), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def adc_topk(codes: DataFrame, probes_sub: DataFrame,
              codebook: DataFrame, k: int) -> DataFrame:
     """Asymmetric-distance top-k: probe→centroid distance table (M×K per

@@ -97,6 +97,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "kmeans_clusters",
     "knn_pq_adc",
     "knn_ivfpq",
+    "knn_ivfpq_refined",
     # never driver-sampled: multimodal
     "binary_metadata",
     "media_decode_stub",

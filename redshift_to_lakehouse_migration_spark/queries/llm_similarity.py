@@ -217,6 +217,40 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
 
 
+def knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine — the full production ANN stack: IVF lists
+    bound candidates, ADC over byte codes over-fetches 10·k of them, and
+    only those few rows join back their float vectors for an exact cosine
+    top-5. The corpus-wide work never touches a float vector; the refine
+    join is candidate-sized. Recovers the ADC quantization loss (recall
+    gate in tests/test_pq.py). Rows-only like the other PQ entries."""
+    from pyspark.sql import Window as W
+    from ..llm import pq
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    coarse = e.filter(F.col("vec_id") % 64 == 0)
+    lists = sim.ivf_assign(e, coarse, "vec_id", "embedding",
+                           "vec_id", "embedding", nprobe=1) \
+        .select("vec_id", "centroid_id")
+    probe_vecs = e.filter(F.col("vec_id") % 50 == 0)
+    probe_lists = sim.ivf_assign(probe_vecs, coarse, "vec_id", "embedding",
+                                 "vec_id", "embedding", nprobe=2) \
+        .select("vec_id", "centroid_id")
+    sub = pq.split_subvectors(e, "vec_id", "embedding", m=4, dim=_DIM)
+    seeds = sub.filter(F.col("vec_id") % 64 == 0)
+    init = seeds.select(
+        "subspace",
+        (F.row_number().over(W.partitionBy("subspace").orderBy("vec_id"))
+         - 1).alias("code"),
+        F.col("subvec").alias("centroid"))
+    codebook = pq.train_codebook(sub, init, iters=1)
+    codes = pq.encode(sub, codebook)
+    probes_sub = sub.filter(F.col("vec_id") % 50 == 0)
+    cand = pq.adc_topk_within_lists(codes, lists, probes_sub, probe_lists,
+                                    codebook, k=50)
+    return pq.refine_topk(cand, e, probe_vecs, "vec_id", "embedding", k=5) \
+        .orderBy("query_id", "rank")
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -227,6 +261,7 @@ QUERIES = {
     "kmeans_clusters": kmeans_clusters,
     "knn_pq_adc": knn_pq_adc,
     "knn_ivfpq": knn_ivfpq,
+    "knn_ivfpq_refined": knn_ivfpq_refined,
 }
 
 _SIM = (f"round({_dot_sql('q.q_emb', 'e.embedding')} / "

