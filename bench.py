@@ -7,6 +7,11 @@ and prints ONE JSON line:
 Each query executes fully via the no-op sink (count() would let Spark skip
 column materialization; noop forces the whole plan) after a shared-session
 warmup query to amortize JVM startup out of per-query numbers.
+
+Every entry (queries AND the two end-to-end pipelines) runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-entry
+MEDIAN — single-shot numbers on a shared VM carry ±40% noise, and medians
+are the defensible round-over-round comparison unit.
 """
 
 from __future__ import annotations
@@ -22,9 +27,17 @@ from redshift_to_lakehouse_migration_spark.queries import QUERIES
 from redshift_to_lakehouse_migration_spark.session import get_spark
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
 
     # JVM/codegen/FileSystem warmup — not timed (standard bench practice:
@@ -34,12 +47,15 @@ def main() -> None:
     from redshift_to_lakehouse_migration_spark.tables import load
     load(spark, sf_dir, "lineitem").selectExpr("count(*)").collect()
 
-    timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        timings[name] = _median([run_once(name) for _ in range(reps)])
 
     # End-to-end medallion pipeline (BASELINE.md bench plan): generate the
     # reference's default scale (10k policies, seed 42 —
@@ -54,17 +70,21 @@ def main() -> None:
     )
 
     tmp = tempfile.mkdtemp(prefix="medallion_bench_")
+    pipeline_runs = []
     try:
         datagen.generate(f"{tmp}/raw", n_policies=10_000, seed=42)
-        t0 = time.perf_counter()
-        pipe = build_medallion_pipeline(spark, f"{tmp}/raw",
-                                        f"{tmp}/warehouse", "2024-06-01")
-        outputs, _ = pipe.run(max_workers=4)
-        for df in outputs.values():     # execute every unmaterialized node
-            df.write.format("noop").mode("overwrite").save()
-        pipeline_sec = round(time.perf_counter() - t0, 3)
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            pipe = build_medallion_pipeline(spark, f"{tmp}/raw",
+                                            f"{tmp}/warehouse_{rep}",
+                                            "2024-06-01")
+            outputs, _ = pipe.run(max_workers=4)
+            for df in outputs.values():  # execute every unmaterialized node
+                df.write.format("noop").mode("overwrite").save()
+            pipeline_runs.append(time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    pipeline_sec = _median(pipeline_runs)
 
     # End-to-end corpus-prep pipeline (the LLM-side medallion): gate →
     # exact dedup → near-dup clustering → decontaminate → sample → pack,
@@ -73,15 +93,18 @@ def main() -> None:
     from redshift_to_lakehouse_migration_spark.tables import load as _load
     from redshift_to_lakehouse_migration_spark.tables import spread as _spread
 
-    tmp2 = tempfile.mkdtemp(prefix="corpus_bench_")
-    try:
-        docs = _spread(_load(spark, sf_dir, "documents"), spark)
-        t0 = time.perf_counter()
-        run_corpus_pipeline(spark, docs, tmp2).write \
-            .format("noop").mode("overwrite").save()
-        corpus_sec = round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(tmp2, ignore_errors=True)
+    corpus_runs = []
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    for rep in range(reps):
+        tmp2 = tempfile.mkdtemp(prefix="corpus_bench_")
+        try:
+            t0 = time.perf_counter()
+            run_corpus_pipeline(spark, docs, tmp2).write \
+                .format("noop").mode("overwrite").save()
+            corpus_runs.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(tmp2, ignore_errors=True)
+    corpus_sec = _median(corpus_runs)
 
     total = round(sum(timings.values()) + pipeline_sec + corpus_sec, 3)
     print(json.dumps({
@@ -92,10 +115,12 @@ def main() -> None:
                     "corpus_prep_pipeline": corpus_sec},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
-        "notes": ("total covers every registered query plus TWO "
-                  "materializing end-to-end pipelines (medallion 10k, "
-                  "corpus prep); the registry grew across rounds, so "
-                  "compare per-entry times, not totals"),
+        "reps": reps,
+        "notes": (f"per-entry MEDIANS over {reps} runs; total covers every "
+                  "registered query plus TWO materializing end-to-end "
+                  "pipelines (medallion 10k, corpus prep); the registry "
+                  "grew across rounds, so compare per-entry medians, not "
+                  "totals"),
     }))
     spark.stop()
 
