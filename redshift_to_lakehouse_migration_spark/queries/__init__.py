@@ -67,15 +67,21 @@ for _m in _MODULES:
 # its green round-2 row.  Order within the list is roughly
 # cheapest-first so an early driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # previously-red oracles, fixed — re-prove first
-    "customer_order_gaps",
+    # round-3 red rows, fixed in round 4 (oracle BIGINT width pins +
+    # doc_ids stringification) — re-prove these six before anything else
     "corpus_prep",
+    "events_daily_anomalies",
+    "mix_datasets",
+    "pack_sequences",
+    "pack_sequences_rows",
+    "corpus_funnel",
+    # previously-red oracle, fixed in round 3 (green r3) — keep proving
+    "customer_order_gaps",
     # never driver-sampled: events / governance
     "events_json_typed",
     "events_conversion_funnel",
     "events_retention_cohorts",
     "events_rolling_hour_range",
-    "events_daily_anomalies",
     "event_path_trigrams",
     "audit_object_access",
     "audit_principal_last7d",
@@ -102,14 +108,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "binary_metadata",
     "media_decode_stub",
     "frame_sample_plan",
-    # never driver-sampled: sampling / packing / curation
+    # never driver-sampled: sampling / curation
     "sample_stratified",
     "sample_per_stratum",
-    "mix_datasets",
-    "pack_sequences",
-    "pack_sequences_rows",
     "contamination_check",
-    "corpus_funnel",
     # round-1-only rows — re-prove under the current code
     "events_asof_purchase",
     "events_error_after_click",

@@ -124,14 +124,17 @@ ORACLES = {
                      ELSE '{DEFAULT_CEILING}' END
     )
     SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS docs,
-           SUM(n_tokens) AS tokens FROM base
-    UNION ALL SELECT 1, 'gated', COUNT(*), SUM(n_tokens) FROM gated
-    UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(n_tokens) FROM exact
-    UNION ALL SELECT 3, 'near_dup_canonical', COUNT(*), SUM(n_tokens)
-        FROM canonical
-    UNION ALL SELECT 4, 'decontaminated', COUNT(*), SUM(n_tokens)
-        FROM decontaminated
-    UNION ALL SELECT 5, 'sampled', COUNT(*), SUM(n_tokens) FROM sampled
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens FROM base
+    UNION ALL SELECT 1, 'gated', COUNT(*),
+        CAST(SUM(n_tokens) AS BIGINT) FROM gated
+    UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+        CAST(SUM(n_tokens) AS BIGINT) FROM exact
+    UNION ALL SELECT 3, 'near_dup_canonical', COUNT(*),
+        CAST(SUM(n_tokens) AS BIGINT) FROM canonical
+    UNION ALL SELECT 4, 'decontaminated', COUNT(*),
+        CAST(SUM(n_tokens) AS BIGINT) FROM decontaminated
+    UNION ALL SELECT 5, 'sampled', COUNT(*),
+        CAST(SUM(n_tokens) AS BIGINT) FROM sampled
     ORDER BY stage_id
     """,
 }

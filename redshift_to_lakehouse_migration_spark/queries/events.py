@@ -665,7 +665,7 @@ ORACLES["events_daily_anomalies"] = """
         FROM daily GROUP BY event_type
     )
     SELECT d.event_type, d.day, d.x AS event_count,
-           m.s AS type_total, m.n AS n_days
+           CAST(m.s AS BIGINT) AS type_total, m.n AS n_days
     FROM daily d JOIN moments m ON d.event_type = m.event_type
     WHERE (m.n * d.x - m.s) > 0
       AND (m.n * d.x - m.s) * (m.n * d.x - m.s)

@@ -307,8 +307,8 @@ ORACLES["corpus_prep"] = f"""
     )
     SELECT g.lang,
            COUNT(*) AS kept_docs,
-           SUM(g.n_tokens) AS kept_tokens,
-           SUM(k.dup_count - 1) AS dups_removed
+           CAST(SUM(g.n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(SUM(k.dup_count - 1) AS BIGINT) AS dups_removed
     FROM gated g
     JOIN keepers k ON g.content_hash = k.content_hash
                   AND g.doc_id = k.doc_id

@@ -165,7 +165,12 @@ def pack_sequences_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         "lang", "bin_id",
-        F.transform("members", lambda m: m["doc_id"]).alias("doc_ids"),
+        # Joined string, not array<long>: the driver's pandas canonicalizer
+        # cannot sort/hash list cells, and a delimited string keeps the
+        # same lineage information on both the Spark and DuckDB sides.
+        F.concat_ws(
+            ",", F.transform("members", lambda m: m["doc_id"].cast("string"))
+        ).alias("doc_ids"),
         F.concat_ws("\n\n", F.transform("members", lambda m: m["text"]))
         .alias("packed_text"),
         "bin_tokens",
@@ -211,20 +216,23 @@ ORACLES = {
                    CASE WHEN source IN ('src1','src2','src3') THEN 3
                         ELSE 1 END AS weight,
                    COUNT(*) AS docs,
-                   SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                            AS BIGINT)) AS tokens
+                   CAST(SUM(CAST(len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                                 AS BIGINT)) AS BIGINT) AS tokens
             FROM documents
             WHERE text IS NOT NULL
             GROUP BY 1, 2
         ),
         weighted AS (
-            SELECT *, weight * tokens AS effective_tokens FROM per_source
+            SELECT *, CAST(weight * tokens AS BIGINT) AS effective_tokens
+            FROM per_source
         ),
         total AS (
             SELECT SUM(effective_tokens) AS total_effective FROM weighted
         )
         SELECT source, weight, docs, tokens, effective_tokens,
-               effective_tokens * 10000 // total_effective AS mix_share_bps
+               CAST(effective_tokens * 10000 // total_effective AS BIGINT)
+                   AS mix_share_bps
         FROM weighted, total
         ORDER BY source
     """,
@@ -247,10 +255,11 @@ ORACLES = {
             WHERE text IS NOT NULL
         )
         SELECT lang, bin_id,
-               list(doc_id ORDER BY doc_id) AS doc_ids,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS doc_ids,
                string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
                    AS packed_text,
-               SUM(n_tokens) AS bin_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         FROM binned
         GROUP BY lang, bin_id
         ORDER BY lang, bin_id
@@ -274,8 +283,9 @@ ORACLES = {
         )
         SELECT lang, bin_id,
                COUNT(*) AS docs_in_bin,
-               SUM(n_tokens) AS bin_tokens,
-               SUM(n_tokens) * 10000 // {PACK_BUDGET} AS fill_bps
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               CAST(SUM(n_tokens) * 10000 // {PACK_BUDGET} AS BIGINT)
+                   AS fill_bps
         FROM binned
         GROUP BY lang, bin_id
         ORDER BY lang, bin_id
