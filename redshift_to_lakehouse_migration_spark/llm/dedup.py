@@ -126,8 +126,11 @@ def jaccard_pairs(sh: DataFrame, blocks: DataFrame, threshold: float,
 
 def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],
                       band_rows: int) -> DataFrame:
-    """(doc_id, band_id, band_key) via wide min-aggregate signatures —
-    one shuffle, no per-permutation row multiplication."""
+    """(doc_id, sig_hash, band_id, band_key) via wide min-aggregate
+    signatures — one shuffle, no per-permutation row multiplication.
+    ``sig_hash`` is a hash of the FULL signature (all bands concatenated);
+    :func:`capped_band_candidates` uses it as the per-group star key so
+    identical-signature docs in an oversized bucket pair directly."""
     n_perm = len(perms)
     n_bands = n_perm // band_rows
     sig = (
@@ -143,30 +146,61 @@ def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],
         for j in range(n_bands)
     ]
     wide = sig.select("doc_id", *band_cols)
+    sig_hash = F.md5(F.concat_ws(
+        ",", *[f"band_{j}" for j in range(n_bands)])).alias("sig_hash")
     stack_args = ", ".join(f"{j}, band_{j}" for j in range(n_bands))
-    return wide.selectExpr(
-        "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_key)")
+    return wide.select("doc_id", sig_hash, *[
+        f"band_{j}" for j in range(n_bands)
+    ]).selectExpr(
+        "doc_id", "sig_hash",
+        f"stack({n_bands}, {stack_args}) AS (band_id, band_key)")
 
 
 def capped_band_candidates(bands: DataFrame, bucket_cap: int,
-                           payload: tuple[str, ...] = ()) -> DataFrame:
+                           payload: tuple[str, ...] = (),
+                           group_col: str | None = None,
+                           distinct: bool = True) -> DataFrame:
     """Candidate pairs from a banded signature table, with bounded
     per-bucket fan-out. ``bands``: (doc_id, band_id, band_key, *payload).
 
     Buckets of ≤ ``bucket_cap`` docs self-join all-pairs as usual. An
     OVERSIZED bucket (degenerate band key: boilerplate near-identical docs
-    en masse) emits a star instead — every member paired with the bucket's
-    min-doc representative — so its candidate count is B−1, not B(B−1)/2,
-    while every member stays reachable from the representative (which is
-    what connected-components clustering consumes). Bucket sizes come from
-    one window pass over the band shuffle: linear state, no extra shuffle.
+    en masse) emits stars instead of all-pairs, so its candidate count is
+    B−1, not B(B−1)/2. Bucket sizes come from one window pass over the
+    band shuffle: linear state, no extra shuffle.
 
-    ``payload`` columns ride along as ``<col>_1``/``<col>_2`` (the star
-    representative contributes the ``_1`` side).
+    Star topology — and the recall contract it buys:
+
+    - With ``group_col`` (a full-signature hash column present in
+      ``bands``): one star per signature group around the group's min-doc
+      representative, plus a star of group representatives around the
+      bucket's min-doc representative. Same B−1 total, but members with
+      IDENTICAL signatures are paired directly, so a mixed bucket (a band
+      collision joining several distinct boilerplate families) still
+      verifies each family internally even when the cross-family
+      (bucket-rep, group-rep) pairs fail the exact verify.
+    - Without ``group_col``: a single star around the bucket's min-doc
+      representative. "Every member stays reachable" then holds only for
+      HOMOGENEOUS buckets — in a mixed bucket, members whose pair with the
+      representative fails the verify lose their intra-family edges.
+
+    Residual (documented) recall loss in both modes: similar-but-not-
+    identical members of a mixed oversized bucket are only reachable
+    through representative pairs; if those fail the verify, that family's
+    near-dups in THIS bucket are dropped (other bands can still recover
+    them). This is the deliberate price of bounding a degenerate bucket to
+    B−1 candidates.
+
+    ``payload`` columns ride along as ``<col>_1``/``<col>_2`` (star
+    representatives contribute the ``_1`` side). ``distinct=False`` skips
+    the cross-band pair dedup — correct whenever each doc appears in at
+    most one bucket per band_id (e.g. single-band sign-LSH), saving a
+    shuffle of the candidate payload.
     """
     w = Window.partitionBy("band_id", "band_key")
     ann = bands.select(
         "doc_id", "band_id", "band_key", *payload,
+        *([group_col] if group_col and group_col not in payload else []),
         F.count(F.lit(1)).over(w).alias("__bn"),
         F.min(F.struct("doc_id", *payload)).over(w).alias("__rep"))
     small = ann.filter(F.col("__bn") <= bucket_cap)
@@ -181,23 +215,51 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
                 *[F.col(f"x.{c}").alias(f"{c}_1") for c in payload],
                 *[F.col(f"y.{c}").alias(f"{c}_2") for c in payload])
     )
-    cand_big = (
-        ann.filter((F.col("__bn") > bucket_cap)
-                   & (F.col("doc_id") > F.col("__rep.doc_id")))
-        .select(F.col("__rep.doc_id").alias("doc_id_1"),
-                F.col("doc_id").alias("doc_id_2"),
-                *[F.col(f"__rep.{c}").alias(f"{c}_1") for c in payload],
-                *[F.col(c).alias(f"{c}_2") for c in payload])
-    )
-    return cand_small.unionByName(cand_big).distinct()
+    big = ann.filter(F.col("__bn") > bucket_cap)
+    if group_col is None:
+        cand_big = (
+            big.filter(F.col("doc_id") > F.col("__rep.doc_id"))
+            .select(F.col("__rep.doc_id").alias("doc_id_1"),
+                    F.col("doc_id").alias("doc_id_2"),
+                    *[F.col(f"__rep.{c}").alias(f"{c}_1") for c in payload],
+                    *[F.col(c).alias(f"{c}_2") for c in payload])
+        )
+    else:
+        # Same (band_id, band_key) clustering satisfies this window's
+        # distribution — a sort within partitions, not a second shuffle.
+        gw = Window.partitionBy("band_id", "band_key", group_col)
+        big = big.withColumn(
+            "__grep", F.min(F.struct("doc_id", *payload)).over(gw))
+        members = (
+            big.filter(F.col("doc_id") > F.col("__grep.doc_id"))
+            .select(F.col("__grep.doc_id").alias("doc_id_1"),
+                    F.col("doc_id").alias("doc_id_2"),
+                    *[F.col(f"__grep.{c}").alias(f"{c}_1")
+                      for c in payload],
+                    *[F.col(c).alias(f"{c}_2") for c in payload])
+        )
+        group_reps = (
+            big.filter((F.col("doc_id") == F.col("__grep.doc_id"))
+                       & (F.col("doc_id") > F.col("__rep.doc_id")))
+            .select(F.col("__rep.doc_id").alias("doc_id_1"),
+                    F.col("doc_id").alias("doc_id_2"),
+                    *[F.col(f"__rep.{c}").alias(f"{c}_1") for c in payload],
+                    *[F.col(c).alias(f"{c}_2") for c in payload])
+        )
+        cand_big = members.unionByName(group_reps)
+    cand = cand_small.unionByName(cand_big)
+    return cand.distinct() if distinct else cand
 
 
 def _lsh_candidate_verify(sh: DataFrame, bands: DataFrame, threshold: float,
                           bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """Shared LSH tail: banded candidate self-join (bucket-capped) →
     exact-Jaccard verify restricted to candidates. ``sh``:
-    (doc_id, shingle); ``bands``: (doc_id, band_id, band_key)."""
-    cand = capped_band_candidates(bands, bucket_cap)
+    (doc_id, shingle); ``bands``: (doc_id, band_id, band_key[, sig_hash]).
+    sig_hash (absent in band tables materialized before it existed) turns
+    oversized-bucket stars into per-signature-group stars."""
+    group = "sig_hash" if "sig_hash" in bands.columns else None
+    cand = capped_band_candidates(bands, bucket_cap, group_col=group)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (
         cand.join(sh.alias("s1"), F.col("doc_id_1") == F.col("s1.doc_id"))
@@ -338,7 +400,8 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
         "doc_id", "simhash",
         "stack(4, 0, band_0, 1, band_1, 2, band_2, 3, band_3) "
         "AS (band_id, band_key)")
-    cand = capped_band_candidates(bands, bucket_cap, payload=("simhash",))
+    cand = capped_band_candidates(bands, bucket_cap, payload=("simhash",),
+                                  group_col="simhash")
     dist = F.bit_count(F.col("simhash_1").bitwiseXOR(F.col("simhash_2")))
     return (
         cand.filter(dist <= max_hamming)

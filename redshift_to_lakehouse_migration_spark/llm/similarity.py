@@ -14,6 +14,33 @@ import random
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .dedup import DEFAULT_BUCKET_CAP, capped_band_candidates
+
+
+def _capped_bucket_pairs(assigned: DataFrame,
+                         bucket_cap: int) -> DataFrame:
+    """Candidate pairs within sign-LSH buckets with bounded per-bucket
+    fan-out — the embedding-side twin of the text-LSH bucket cap.
+
+    Reuses :func:`..dedup.capped_band_candidates` with bucket_id as the
+    (single) band key, the embedding as payload, and a hash of the vector
+    as the star group key: a degenerate bucket (mass-duplicated embedding,
+    e.g. a boilerplate page embedded millions of times) emits B−1 star
+    candidates instead of B², and identical vectors pair with their group
+    representative directly. Single band ⇒ no cross-band dups ⇒ the pair
+    dedup shuffle is skipped. Output: (doc_id_1, doc_id_2, embedding_1,
+    embedding_2, bucket_id_1, bucket_id_2) with doc_id_1 < doc_id_2.
+    """
+    bands = assigned.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.col("bucket_id").alias("band_key"),
+        "embedding", "bucket_id",
+        F.xxhash64("embedding").alias("__vec_group"))
+    return capped_band_candidates(
+        bands, bucket_cap, payload=("embedding", "bucket_id"),
+        group_col="__vec_group", distinct=False)
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold dot product in double precision."""
@@ -82,24 +109,26 @@ def lsh_assign(corpus: DataFrame, id_col: str, vec_col: str,
 
 
 def cosine_near_pairs(assigned: DataFrame, threshold: float,
-                      round_digits: int | None = 9) -> DataFrame:
+                      round_digits: int | None = 9,
+                      bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, confined to LSH
     buckets (bucket-equality join — never a global cross join). Output:
     (vec_id_1, vec_id_2, sim) with vec_id_1 < vec_id_2, one row per pair.
 
-    Scale note: at 100 TB the bucket join shuffles on bucket_id only; skewed
-    buckets can be split by raising the plane count (more, smaller buckets).
+    Scale note: at 100 TB the bucket join shuffles on bucket_id only; a
+    bucket past ``bucket_cap`` (mass-duplicated embeddings) collapses to
+    per-vector-group stars — B−1 candidates, not B² — exactly like the
+    text-LSH paths. Skewed-but-legitimate buckets can instead be split by
+    raising the plane count (more, smaller buckets).
     """
-    a, b = assigned.alias("a"), assigned.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cand = _capped_bucket_pairs(assigned, bucket_cap)
+    sim = cosine(F.col("embedding_1"), F.col("embedding_2"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
-        a.join(b, (F.col("a.bucket_id") == F.col("b.bucket_id"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_id_1"),
-                F.col("b.vec_id").alias("vec_id_2"),
-                sim.alias("sim"))
+        cand.select(F.col("doc_id_1").alias("vec_id_1"),
+                    F.col("doc_id_2").alias("vec_id_2"),
+                    sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -174,21 +203,38 @@ def ivf_topk(corpus_assigned: DataFrame, probes_assigned: DataFrame, k: int,
 
 
 def topk_within_buckets(assigned: DataFrame, k: int,
-                        round_digits: int | None = 9) -> DataFrame:
-    """ANN: exact cosine re-rank confined to LSH buckets (equality join)."""
-    a, b = assigned.alias("a"), assigned.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+                        round_digits: int | None = 9,
+                        bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """ANN: exact cosine re-rank confined to LSH buckets (equality join).
+
+    Buckets past ``bucket_cap`` collapse to per-vector-group star
+    candidates (see :func:`cosine_near_pairs`): inside a degenerate
+    mass-duplicate bucket each non-representative vector ranks only its
+    group/bucket representatives — the honest ANN trade for bounding the
+    bucket to B−1 candidate rows instead of B².
+    """
+    cand = _capped_bucket_pairs(assigned, bucket_cap)
+    directed = cand.select(
+        F.col("doc_id_1").alias("query_id"),
+        F.col("doc_id_2").alias("neighbor_id"),
+        F.col("embedding_1").alias("__q_emb"),
+        F.col("embedding_2").alias("__n_emb"),
+        F.col("bucket_id_1").alias("bucket_id"),
+    ).unionByName(cand.select(
+        F.col("doc_id_2").alias("query_id"),
+        F.col("doc_id_1").alias("neighbor_id"),
+        F.col("embedding_2").alias("__q_emb"),
+        F.col("embedding_1").alias("__n_emb"),
+        F.col("bucket_id_2").alias("bucket_id"),
+    ))
+    sim = cosine(F.col("__q_emb"), F.col("__n_emb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        a.join(b, (F.col("a.bucket_id") == F.col("b.bucket_id"))
-               & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("query_id"),
-                F.col("b.vec_id").alias("neighbor_id"),
-                F.col("a.bucket_id").alias("bucket_id"),
-                sim.alias("sim"))
+        directed.select("query_id", "neighbor_id", "bucket_id",
+                        sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

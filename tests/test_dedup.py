@@ -258,3 +258,80 @@ def test_jaccard_shingle_df_cap_drops_boilerplate(spark):
     got = D.jaccard_pairs(sh, blocks, threshold=0.4, shingle_df_cap=1024) \
         .collect()
     assert {(r.doc_id_1, r.doc_id_2) for r in got} == {(100001, 100002)}
+
+
+def test_embedding_pathological_bucket_collapses_to_star(spark):
+    """Embedding-side twin of the text-LSH cap: a mass-duplicated vector
+    (one boilerplate page embedded N times, all landing in ONE sign-LSH
+    bucket) must emit B−1 star candidates, not B² — and every member must
+    stay paired with the min-vec representative at sim 1.0."""
+    from redshift_to_lakehouse_migration_spark.llm import similarity as S
+    n = 5000
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.2))
+        .cast("array<float>").alias("embedding"))
+    projections = S.make_projections(4, 4, seed=7)
+    assigned = S.lsh_assign(vecs, "vec_id", "embedding", projections)
+    pairs = S.cosine_near_pairs(assigned, threshold=0.95,
+                                bucket_cap=512).collect()
+    assert len(pairs) == n - 1
+    assert all(r.vec_id_1 == 0 and r.sim == 1.0 for r in pairs)
+    assert {r.vec_id_2 for r in pairs} == set(range(1, n))
+
+
+def test_embedding_pathological_bucket_topk_bounded(spark):
+    """topk_within_buckets on the same degenerate bucket: candidate rows
+    stay O(B) (2·(B−1) directed), so each non-representative vector ranks
+    only the representative instead of all B−1 others."""
+    from redshift_to_lakehouse_migration_spark.llm import similarity as S
+    n = 5000
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.2))
+        .cast("array<float>").alias("embedding"))
+    projections = S.make_projections(4, 4, seed=7)
+    assigned = S.lsh_assign(vecs, "vec_id", "embedding", projections)
+    topk = S.topk_within_buckets(assigned, k=3, bucket_cap=512)
+    rows = topk.collect()
+    # representative sees up to k neighbors; every other vector exactly 1
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, 0)
+        per_q[r.query_id] += 1
+    assert per_q[0] == 3
+    assert all(v == 1 for q, v in per_q.items() if q != 0)
+    assert len(per_q) == n
+
+
+def test_mixed_oversized_bucket_pairs_groups_directly(spark):
+    """A band-key collision can mix DISTINCT duplicate families in one
+    oversized bucket. Per-group stars must pair each family's members with
+    their own group representative (verify-passing sim 1.0 pairs), not only
+    with the global min-vec rep — the mixed-bucket recall fix."""
+    from redshift_to_lakehouse_migration_spark.llm import similarity as S
+    n = 2000  # per family
+    fam_a = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.2))
+        .cast("array<float>").alias("embedding"))
+    fam_b = spark.range(n).select(
+        (F.col("id") + n).alias("vec_id"),
+        F.array(F.lit(0.9), F.lit(0.1), F.lit(0.05), F.lit(0.3))
+        .cast("array<float>").alias("embedding"))
+    both = fam_a.unionByName(fam_b)
+    projections = S.make_projections(4, 4, seed=7)
+    assigned = S.lsh_assign(both, "vec_id", "embedding", projections)
+    # same bucket for both families (they must collide for this test)
+    n_buckets = assigned.select("bucket_id").distinct().count()
+    assert n_buckets == 1, "fixture regression: families no longer collide"
+    pairs = S.cosine_near_pairs(assigned, threshold=0.999,
+                                bucket_cap=512).collect()
+    found = {(r.vec_id_1, r.vec_id_2) for r in pairs}
+    # family B members pair with family B's rep (vec n) at sim 1.0 —
+    # with a single global star they would only meet vec 0 (sim < .999)
+    assert all((n, n + i) in found for i in range(1, n))
+    assert all((0, i) in found for i in range(1, n))
+    # candidate volume stayed linear: 2(n-1) intra-family + 1 rep-rep pair
+    assert len(found) == 2 * (n - 1) + sum(
+        1 for (a, b) in found if (a, b) == (0, n))
