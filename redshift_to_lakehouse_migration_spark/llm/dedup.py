@@ -84,21 +84,31 @@ def exact_duplicates(docs: DataFrame, id_col: str,
     )
 
 
-def jaccard_pairs(sh: DataFrame, blocks: DataFrame, threshold: float,
-                  shingle_df_cap: int = DEFAULT_SHINGLE_DF_CAP) -> DataFrame:
-    """Pairwise Jaccard within blocks. ``sh``: (doc_id, shingle);
-    ``blocks``: (doc_id, block). Returns pairs ≥ threshold.
+def capped_shingle_blocks(sh: DataFrame, blocks: DataFrame,
+                          shingle_df_cap: int = DEFAULT_SHINGLE_DF_CAP,
+                          ) -> DataFrame:
+    """(doc_id, shingle, block) with the boilerplate DF cap applied.
 
     Shingles with within-block document frequency above ``shingle_df_cap``
-    are excluded from the join AND the size denominators: a shingle shared
-    by d docs costs d² join rows on one partition, and past the cap it is
-    boilerplate with no discriminating power (identical docs are the
+    are excluded from the pair join AND the size denominators: a shingle
+    shared by d docs costs d² join rows on one partition, and past the cap
+    it is boilerplate with no discriminating power (identical docs are the
     exact-dup fast path's job, not Jaccard's). One extra window pass over
-    the shingle shuffle — linear state, no new shuffle key."""
+    the shingle shuffle — linear state, no new shuffle key.
+
+    This is the table to MATERIALIZE at scale: :func:`jaccard_pairs_from_
+    capped` consumes it three times (pair join ×2, size denominators), so
+    writing it to parquet once replaces three corpus re-shingles with three
+    reads of a compact signature table."""
     sh = sh.join(blocks, "doc_id")
     w_df = Window.partitionBy("block", "shingle")
-    sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
-          .filter(F.col("__df") <= shingle_df_cap).drop("__df"))
+    return (sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("__df") <= shingle_df_cap).drop("__df"))
+
+
+def jaccard_pairs_from_capped(sh: DataFrame, threshold: float) -> DataFrame:
+    """Pairwise Jaccard from a pre-capped (doc_id, shingle, block) table
+    (see :func:`capped_shingle_blocks`). Returns pairs ≥ threshold."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -122,6 +132,16 @@ def jaccard_pairs(sh: DataFrame, blocks: DataFrame, threshold: float,
                 "n_shingles_1", "n_shingles_2", jac.alias("jaccard"))
         .filter(jac >= threshold)
     )
+
+
+def jaccard_pairs(sh: DataFrame, blocks: DataFrame, threshold: float,
+                  shingle_df_cap: int = DEFAULT_SHINGLE_DF_CAP) -> DataFrame:
+    """Pairwise Jaccard within blocks, inline. ``sh``: (doc_id, shingle);
+    ``blocks``: (doc_id, block). Returns pairs ≥ threshold. Composition of
+    :func:`capped_shingle_blocks` + :func:`jaccard_pairs_from_capped`; at
+    scale, materialize the capped table between the two instead."""
+    return jaccard_pairs_from_capped(
+        capped_shingle_blocks(sh, blocks, shingle_df_cap), threshold)
 
 
 def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],

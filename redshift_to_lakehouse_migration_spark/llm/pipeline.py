@@ -64,16 +64,35 @@ def stage_exact_dedup(gated: DataFrame) -> DataFrame:
         .drop("content_hash")
 
 
-def stage_near_dup_canonical(deduped: DataFrame) -> DataFrame:
-    """Drop non-canonical members of near-dup clusters: blocked 3-gram
-    Jaccard pairs (threshold 0.4, as `dedup_ngram_jaccard`) → connected
-    components → keep component-min docs and singletons."""
-    from .dedup import jaccard_pairs, shingles
+def build_shingle_blocks(deduped: DataFrame) -> DataFrame:
+    """The (doc_id, shingle, block) signature table the near-dup stage
+    joins on — built from the exact-dedup survivors with the boilerplate
+    DF cap already applied. ``run_corpus_pipeline`` MATERIALIZES this to
+    parquet: the pair self-join and the size denominators then read the
+    compact signature table instead of re-shingling the corpus (3 scans →
+    1 at 100 TB, the same discipline as `materialize_minhash`)."""
+    from .dedup import capped_shingle_blocks, shingles
     normed = deduped.select("doc_id", norm_text("text").alias("norm"))
     sh = shingles(normed, "doc_id", "norm")
     blocks = normed.select("doc_id",
                            F.substring("norm", 1, 16).alias("block"))
-    pairs = jaccard_pairs(sh, blocks, threshold=0.4) \
+    return capped_shingle_blocks(sh, blocks)
+
+
+def stage_near_dup_canonical(deduped: DataFrame,
+                             shingle_blocks: DataFrame | None = None,
+                             ) -> DataFrame:
+    """Drop non-canonical members of near-dup clusters: blocked 3-gram
+    Jaccard pairs (threshold 0.4, as `dedup_ngram_jaccard`) → connected
+    components → keep component-min docs and singletons.
+
+    ``shingle_blocks``: optionally a pre-materialized
+    :func:`build_shingle_blocks` table (identical pair set; the scale
+    path). Default rebuilds it inline as one lazy plan."""
+    from .dedup import jaccard_pairs_from_capped
+    if shingle_blocks is None:
+        shingle_blocks = build_shingle_blocks(deduped)
+    pairs = jaccard_pairs_from_capped(shingle_blocks, threshold=0.4) \
         .select("doc_id_1", "doc_id_2")
     comp = connected_components(pairs, "doc_id_1", "doc_id_2")
     return (
@@ -246,48 +265,54 @@ def funnel(docs: DataFrame) -> DataFrame:
 def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
                         out_dir: str) -> DataFrame:
     """Materializing runner: write every stage to parquet (restartable,
-    inspectable — the medallion discipline applied to corpus prep), then
-    return the funnel computed FROM the written tables."""
-    raw = stage_raw(docs)
-    raw.write.mode("overwrite").parquet(f"{out_dir}/raw")
-    raw = spark.read.parquet(f"{out_dir}/raw")
+    inspectable — the medallion discipline applied to corpus prep) and
+    return the funnel stats.
 
-    gated = stage_gate(raw)
-    gated.write.mode("overwrite").parquet(f"{out_dir}/gated")
-    gated = spark.read.parquet(f"{out_dir}/gated")
+    Per-stage (docs, tokens) come from ``Observation`` metrics collected
+    DURING each stage's write — zero extra jobs, where re-aggregating the
+    written tables would re-scan every stage (six more corpus-sized passes
+    at 100 TB)."""
+    from pyspark.sql import Observation
 
-    exact = stage_exact_dedup(gated)
-    exact.write.mode("overwrite").parquet(f"{out_dir}/exact_dedup")
-    exact = spark.read.parquet(f"{out_dir}/exact_dedup")
+    stats: list[tuple[int, str, int, int]] = []
 
-    canon = stage_near_dup_canonical(exact)
-    canon.write.mode("overwrite").parquet(f"{out_dir}/canonical")
-    canon = spark.read.parquet(f"{out_dir}/canonical")
+    def write_stage(df: DataFrame, path: str, stage: str) -> DataFrame:
+        obs = Observation(f"corpus_{stage}")
+        observed = df.observe(
+            obs, F.count(F.lit(1)).cast("long").alias("docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
+            .alias("tokens"))
+        observed.write.mode("overwrite").parquet(f"{out_dir}/{path}")
+        got = obs.get
+        stats.append((STAGES.index(stage), stage,
+                      got["docs"], got["tokens"]))
+        return spark.read.parquet(f"{out_dir}/{path}")
 
-    clean = stage_decontaminate(canon, docs)
-    clean.write.mode("overwrite").parquet(f"{out_dir}/decontaminated")
-    clean = spark.read.parquet(f"{out_dir}/decontaminated")
+    raw = write_stage(stage_raw(docs), "raw", "raw")
+    gated = write_stage(stage_gate(raw), "gated", "gated")
+    exact = write_stage(stage_exact_dedup(gated), "exact_dedup",
+                        "exact_dedup")
 
-    sampled = stage_sample(clean)
-    sampled.write.mode("overwrite").parquet(f"{out_dir}/sampled")
-    sampled = spark.read.parquet(f"{out_dir}/sampled")
+    # Materialize the near-dup signature table ONCE; the pair join and the
+    # size denominators (3 consumers) read this compact parquet instead of
+    # re-shingling the exact_dedup table per consumer.
+    build_shingle_blocks(exact).write.mode("overwrite") \
+        .parquet(f"{out_dir}/shingle_blocks")
+    shb = spark.read.parquet(f"{out_dir}/shingle_blocks")
+
+    canon = write_stage(stage_near_dup_canonical(exact, shingle_blocks=shb),
+                        "canonical", "near_dup_canonical")
+
+    # `raw` (parquet-backed) has the same benchmark gram set as `docs`:
+    # the filtered-out empty/whitespace docs contribute no NGRAM_N-grams.
+    # Reading it avoids one more scan of the source corpus.
+    clean = write_stage(stage_decontaminate(canon, raw), "decontaminated",
+                        "decontaminated")
+    sampled = write_stage(stage_sample(clean), "sampled", "sampled")
 
     stage_pack(sampled).write.mode("overwrite") \
         .parquet(f"{out_dir}/packed_bins")
 
-    stats = []
-    for i, name in enumerate(STAGES):
-        path = {"raw": "raw", "gated": "gated",
-                "exact_dedup": "exact_dedup",
-                "near_dup_canonical": "canonical",
-                "decontaminated": "decontaminated",
-                "sampled": "sampled"}[name]
-        df = spark.read.parquet(f"{out_dir}/{path}")
-        stats.append(df.agg(
-            F.lit(i).alias("stage_id"), F.lit(name).alias("stage"),
-            F.count("*").alias("docs"),
-            F.sum("n_tokens").alias("tokens")))
-    out = stats[0]
-    for p in stats[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("stage_id")
+    return spark.createDataFrame(
+        sorted(stats),
+        "stage_id int, stage string, docs long, tokens long")

@@ -49,3 +49,22 @@ def test_packed_bins_conserve_sampled_tokens(spark, docs, tmp_path_factory):
             == sampled.agg(F.sum("n_tokens")).collect()[0][0])
     assert (packed.agg(F.sum("docs_in_bin")).collect()[0][0]
             == sampled.count())
+
+
+def test_runner_materializes_and_reads_shingle_blocks(spark, docs,
+                                                      tmp_path_factory):
+    """The near-dup stage must consume the WRITTEN signature table, not
+    re-shingle the corpus: the pairs plan over the materialized table has
+    to scan the shingle_blocks parquet (and, conversely, the runner must
+    have written it)."""
+    out = str(tmp_path_factory.mktemp("corpus_out3"))
+    P.run_corpus_pipeline(spark, docs, out)
+    shb = spark.read.parquet(f"{out}/shingle_blocks")
+    assert set(shb.columns) == {"doc_id", "shingle", "block"}
+    from redshift_to_lakehouse_migration_spark.llm.dedup import (
+        jaccard_pairs_from_capped,
+    )
+    plan = jaccard_pairs_from_capped(shb, threshold=0.4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "shingle_blocks" in plan        # reads the signature parquet
+    assert "documents" not in plan         # never rescans the corpus
