@@ -28,6 +28,24 @@ from pyspark.sql import types as T
 
 from .recon import ReconResult
 
+
+def quote_literal(value: str) -> str:
+    """Escape ``value`` for interpolation into a single-quoted Spark SQL
+    string literal. DDL statements (COMMENT, LOCATION, TBLPROPERTIES) take
+    no bind parameters, so every interpolated literal must be escaped —
+    a quote in untrusted metadata otherwise breaks (or injects into) the
+    statement."""
+    return value.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a possibly-dotted identifier (schema.table) for
+    interpolation into Spark SQL. Each part is quoted separately so dots
+    keep their namespace meaning; embedded backticks are doubled per the
+    Spark identifier-quoting rule."""
+    return ".".join("`" + part.replace("`", "``") + "`"
+                    for part in name.split("."))
+
 # layer → comment, verbatim from setup_catalog.sql:15-29.
 MEDALLION_SCHEMAS: dict[str, str] = {
     "bronze": "Raw ingestion layer. Append-only. Source data in original "
@@ -64,10 +82,10 @@ def setup_catalog(spark: SparkSession,
     Returns the executed statements for logging/audit."""
     executed = []
     for schema, comment in MEDALLION_SCHEMAS.items():
-        loc = (f" LOCATION '{location_root}/{schema}'"
+        loc = (f" LOCATION '{quote_literal(location_root)}/{schema}'"
                if location_root else "")
-        stmt = (f"CREATE SCHEMA IF NOT EXISTS {schema} "
-                f"COMMENT '{comment}'{loc}")
+        stmt = (f"CREATE SCHEMA IF NOT EXISTS {quote_ident(schema)} "
+                f"COMMENT '{quote_literal(comment)}'{loc}")
         spark.sql(stmt)
         executed.append(stmt)
     cols = ", ".join(f"{f.name} {f.dataType.simpleString().upper()}"
@@ -86,14 +104,14 @@ def classify_table(spark: SparkSession, table: str, classification: str,
     """GLBA-style classification tags (setup_catalog.sql:52-55), recorded
     as table properties in the session catalog."""
     spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES ("
-        f"'data_classification' = '{classification}', "
+        f"ALTER TABLE {quote_ident(table)} SET TBLPROPERTIES ("
+        f"'data_classification' = '{quote_literal(classification)}', "
         f"'contains_pii' = '{str(contains_pii).lower()}')")
 
 
 def table_classification(spark: SparkSession, table: str) -> dict[str, str]:
     """Read back the classification properties for audit."""
-    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    rows = spark.sql(f"SHOW TBLPROPERTIES {quote_ident(table)}").collect()
     props = {r.key: r.value for r in rows}
     return {k: props[k] for k in ("data_classification", "contains_pii")
             if k in props}
@@ -130,9 +148,9 @@ def verify_layer(spark: SparkSession, layer: str) -> dict[str, object]:
     a table round-trips (write → read → count), cleanup drops it, and the
     layer's tables are listed. Returns the outcome instead of sys.exit so
     callers (pipelines, tests) compose it."""
-    test_table = f"{layer}._smoke_test"
+    test_table = f"{quote_ident(layer)}._smoke_test"
     out: dict[str, object] = {"layer": layer}
-    spark.sql(f"USE SCHEMA {layer}")
+    spark.sql(f"USE SCHEMA {quote_ident(layer)}")
     out["schema_accessible"] = True
     df = spark.createDataFrame(
         [("smoke_test_1", 42, "2024-01-01T00:00:00")],
@@ -143,7 +161,8 @@ def verify_layer(spark: SparkSession, layer: str) -> dict[str, object]:
     out["write_read_ok"] = n == 1
     spark.sql(f"DROP TABLE IF EXISTS {test_table}")
     out["tables"] = [r.tableName
-                     for r in spark.sql(f"SHOW TABLES IN {layer}").collect()
+                     for r in spark.sql(
+                         f"SHOW TABLES IN {quote_ident(layer)}").collect()
                      if not r.tableName.startswith("_")]
     spark.sql("USE SCHEMA default")
     return out

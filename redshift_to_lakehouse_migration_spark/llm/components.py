@@ -52,24 +52,30 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
             .groupBy("node").agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        changed = (
+        moved = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1).count()
         )
+        any_changed = moved.limit(1).count()  # existence probe, not a count
+        prev = labels
         labels = new_labels
-        if changed == 0:
+        if any_changed == 0:
             break
     else:
         # Exhausting max_iter with labels still moving means the returned
         # components would be WRONG (a long near-dup chain only partially
         # collapsed), and downstream canonical-keeper selection would let
-        # non-canonical near-dups survive silently. Fail loudly instead:
-        # the convergence probe already ran this round, so this costs nothing.
+        # non-canonical near-dups survive silently. Fail loudly instead.
+        # The REAL moving-label count (the limit(1) probe above only proves
+        # existence) is worth one extra job on this failure-only path.
+        still_moving = (
+            labels.alias("n").join(prev.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp")).count()
+        )
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} label(s) still changing); raise max_iter — "
+            f"({still_moving} label(s) still changing); raise max_iter — "
             "component diameter exceeds the iteration budget"
         )
     return labels

@@ -54,19 +54,25 @@ def create_masked_view(spark: SparkSession, base, view_name: str,
     explicit ``unmasked`` flag — a privileged session builds the view
     pass-through, an unprivileged one masked, same consumer SQL either way.
     """
+    # single-part quoting (no dot-splitting: a dot inside a column or temp
+    # view name is part of the name, not a namespace separator)
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     register_sql_functions(spark)
     base_view = f"__{view_name}_base"
     base.createOrReplaceTempView(base_view)
     cols = []
     for c in base.columns:
+        qc = q(c)
         if not unmasked and c in name_cols:
-            cols.append(f"mask_name({c}) AS {c}")
+            cols.append(f"mask_name({qc}) AS {qc}")
         elif not unmasked and c in email_cols:
-            cols.append(f"mask_email({c}) AS {c}")
+            cols.append(f"mask_email({qc}) AS {qc}")
         else:
-            cols.append(c)
-    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {view_name} AS "
-              f"SELECT {', '.join(cols)} FROM {base_view}")
+            cols.append(qc)
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {q(view_name)} "
+              f"AS SELECT {', '.join(cols)} FROM {q(base_view)}")
 
 
 def register_sql_functions(spark: SparkSession) -> None:

@@ -75,3 +75,20 @@ def test_classification_properties_roundtrip(lakehouse):
     tags = C.table_classification(spark, "gold.dim_policy_t")
     assert tags == {"data_classification": "confidential",
                     "contains_pii": "true"}
+
+
+def test_quoting_survives_hostile_metadata(lakehouse):
+    """A quote in untrusted metadata must become data, not SQL: the
+    classification literal round-trips verbatim and the statement parses."""
+    spark = lakehouse
+    spark.sql("CREATE TABLE gold.quoted_t (x STRING) USING PARQUET")
+    hostile = "tier-1 'quoted', injected"
+    C.classify_table(spark, "gold.quoted_t", hostile, contains_pii=False)
+    tags = C.table_classification(spark, "gold.quoted_t")
+    assert tags["data_classification"] == hostile
+
+
+def test_quote_ident_parts():
+    assert C.quote_ident("gold.dim_policy") == "`gold`.`dim_policy`"
+    assert C.quote_ident("we`ird") == "`we``ird`"
+    assert C.quote_literal("it's a 'test'") == "it\\'s a \\'test\\'"

@@ -97,10 +97,15 @@ def test_ivf_recall_on_uniform_driver_corpus_monotone_in_nprobe(spark):
     fraction (no index beats that on structureless data); assert the
     measured floor at nprobe=4 and strict improvement from nprobe=2
     (measured at sf0.01: 0.42 -> 0.70)."""
+    import os
+
     from redshift_to_lakehouse_migration_spark.llm import similarity as sim
     from redshift_to_lakehouse_migration_spark.tables import load as ld
     from tests.ann_data import recall_at_k
-    sf = "/root/testdata/sf0.01"
+    sf = os.environ.get("SPARK_GRAFT_CORRECTNESS_SF_DIR",
+                        "/root/testdata/sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip(f"driver test corpus not present: {sf}")
     e = ld(spark, sf, "embeddings")
     probes = e.filter(F.col("vec_id") % 50 == 0)
     gt = sim.cosine_topk(e, probes, "vec_id", "embedding", k=10).collect()
