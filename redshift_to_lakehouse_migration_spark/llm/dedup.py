@@ -186,8 +186,10 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
     Buckets of ≤ ``bucket_cap`` docs self-join all-pairs as usual. An
     OVERSIZED bucket (degenerate band key: boilerplate near-identical docs
     en masse) emits stars instead of all-pairs, so its candidate count is
-    B−1, not B(B−1)/2. Bucket sizes come from one window pass over the
-    band shuffle: linear state, no extra shuffle.
+    B−1, not B(B−1)/2. Bucket sizes and representative ids come from a
+    SLIM aggregate over (doc_id, keys) only — payload columns (embeddings!)
+    never enter aggregation state; representative payloads are fetched by
+    joining the (normally empty) oversized side back to ``bands``.
 
     Star topology — and the recall contract it buys:
 
@@ -217,16 +219,30 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
     most one bucket per band_id (e.g. single-band sign-LSH), saving a
     shuffle of the candidate payload.
     """
-    w = Window.partitionBy("band_id", "band_key")
-    ann = bands.select(
-        "doc_id", "band_id", "band_key", *payload,
-        *([group_col] if group_col and group_col not in payload else []),
-        F.count(F.lit(1)).over(w).alias("__bn"),
-        F.min(F.struct("doc_id", *payload)).over(w).alias("__rep"))
+    keys = ["band_id", "band_key"]
+    # The band table feeds 3+ plan branches (size aggregate, both sides of
+    # the small self-join, the oversized side); its upstream subtree is
+    # expensive (MinHash wide min-agg / 8 hyperplane dot products per
+    # vector). Materialize it ONCE to executor-local storage so branches
+    # read cached blocks instead of recomputing signatures per branch —
+    # the in-plan equivalent of `materialize_minhash`'s parquet table.
+    bands = bands.localCheckpoint(eager=False)
+    slim_cols = ["doc_id", *keys] + (
+        [group_col] if group_col and group_col not in keys else [])
+    slim = bands.select(*slim_cols)
+    # One row per bucket: size + min-doc representative id. Ids only — a
+    # hash aggregate with two long-ish state slots per bucket.
+    sizes = slim.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__bn"),
+        F.min("doc_id").alias("__rep_id"))
+    ann = bands.join(sizes, keys)
     small = ann.filter(F.col("__bn") <= bucket_cap)
+    # The y side stays UNFILTERED raw bands: both members of a candidate
+    # pair share a bucket, so the x-side size filter already decides the
+    # pair — one fewer size-join branch in the plan.
     cand_small = (
         small.alias("x").join(
-            small.alias("y"),
+            bands.alias("y"),
             (F.col("x.band_id") == F.col("y.band_id"))
             & (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -236,34 +252,50 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
                 *[F.col(f"y.{c}").alias(f"{c}_2") for c in payload])
     )
     big = ann.filter(F.col("__bn") > bucket_cap)
+
+    def rep_payload(rows: DataFrame, extra_keys: list[str]) -> DataFrame:
+        """Representative rows keyed for payload_1 lookup."""
+        return rows.select(
+            *keys, *extra_keys,
+            *[F.col(c).alias(f"{c}_1") for c in payload])
+
     if group_col is None:
+        reps = rep_payload(big.filter(F.col("doc_id") == F.col("__rep_id")),
+                           [])
         cand_big = (
-            big.filter(F.col("doc_id") > F.col("__rep.doc_id"))
-            .select(F.col("__rep.doc_id").alias("doc_id_1"),
+            big.filter(F.col("doc_id") > F.col("__rep_id"))
+            .join(reps, keys)
+            .select(F.col("__rep_id").alias("doc_id_1"),
                     F.col("doc_id").alias("doc_id_2"),
-                    *[F.col(f"__rep.{c}").alias(f"{c}_1") for c in payload],
+                    *[f"{c}_1" for c in payload],
                     *[F.col(c).alias(f"{c}_2") for c in payload])
         )
     else:
-        # Same (band_id, band_key) clustering satisfies this window's
-        # distribution — a sort within partitions, not a second shuffle.
-        gw = Window.partitionBy("band_id", "band_key", group_col)
-        big = big.withColumn(
-            "__grep", F.min(F.struct("doc_id", *payload)).over(gw))
+        # Per-group representative ids — again ids only, and only for
+        # oversized buckets (an empty aggregate in the common case).
+        gsizes = (slim.join(sizes.filter(F.col("__bn") > bucket_cap)
+                            .select(*keys), keys)
+                  .groupBy(*keys, group_col)
+                  .agg(F.min("doc_id").alias("__grep_id")))
+        bigg = big.join(gsizes, [*keys, group_col])
+        grep_rows = bigg.filter(F.col("doc_id") == F.col("__grep_id"))
         members = (
-            big.filter(F.col("doc_id") > F.col("__grep.doc_id"))
-            .select(F.col("__grep.doc_id").alias("doc_id_1"),
+            bigg.filter(F.col("doc_id") > F.col("__grep_id"))
+            .join(rep_payload(grep_rows, [group_col]),
+                  [*keys, group_col])
+            .select(F.col("__grep_id").alias("doc_id_1"),
                     F.col("doc_id").alias("doc_id_2"),
-                    *[F.col(f"__grep.{c}").alias(f"{c}_1")
-                      for c in payload],
+                    *[f"{c}_1" for c in payload],
                     *[F.col(c).alias(f"{c}_2") for c in payload])
         )
         group_reps = (
-            big.filter((F.col("doc_id") == F.col("__grep.doc_id"))
-                       & (F.col("doc_id") > F.col("__rep.doc_id")))
-            .select(F.col("__rep.doc_id").alias("doc_id_1"),
+            grep_rows.filter(F.col("doc_id") > F.col("__rep_id"))
+            .join(rep_payload(big.filter(F.col("doc_id")
+                                         == F.col("__rep_id")), []),
+                  keys)
+            .select(F.col("__rep_id").alias("doc_id_1"),
                     F.col("doc_id").alias("doc_id_2"),
-                    *[F.col(f"__rep.{c}").alias(f"{c}_1") for c in payload],
+                    *[f"{c}_1" for c in payload],
                     *[F.col(c).alias(f"{c}_2") for c in payload])
         )
         cand_big = members.unionByName(group_reps)

@@ -214,19 +214,21 @@ def topk_within_buckets(assigned: DataFrame, k: int,
     bucket to B−1 candidate rows instead of B².
     """
     cand = _capped_bucket_pairs(assigned, bucket_cap)
-    directed = cand.select(
-        F.col("doc_id_1").alias("query_id"),
-        F.col("doc_id_2").alias("neighbor_id"),
-        F.col("embedding_1").alias("__q_emb"),
-        F.col("embedding_2").alias("__n_emb"),
-        F.col("bucket_id_1").alias("bucket_id"),
-    ).unionByName(cand.select(
-        F.col("doc_id_2").alias("query_id"),
-        F.col("doc_id_1").alias("neighbor_id"),
-        F.col("embedding_2").alias("__q_emb"),
-        F.col("embedding_1").alias("__n_emb"),
-        F.col("bucket_id_2").alias("bucket_id"),
-    ))
+    # Both directions of each undirected pair in ONE pass (explode of a
+    # 2-struct array) — a union of two selects would recompute the whole
+    # candidate subtree per branch.
+    directed = cand.select(F.explode(F.array(
+        F.struct(F.col("doc_id_1").alias("query_id"),
+                 F.col("doc_id_2").alias("neighbor_id"),
+                 F.col("embedding_1").alias("__q_emb"),
+                 F.col("embedding_2").alias("__n_emb"),
+                 F.col("bucket_id_1").alias("bucket_id")),
+        F.struct(F.col("doc_id_2").alias("query_id"),
+                 F.col("doc_id_1").alias("neighbor_id"),
+                 F.col("embedding_2").alias("__q_emb"),
+                 F.col("embedding_1").alias("__n_emb"),
+                 F.col("bucket_id_2").alias("bucket_id")),
+    )).alias("p")).select("p.*")
     sim = cosine(F.col("__q_emb"), F.col("__n_emb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
