@@ -53,9 +53,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         timings[name] = _median([run_once(name) for _ in range(reps)])
+        # Release dropped DataFrame refs promptly so the ContextCleaner
+        # unpersists localCheckpoint/cache blocks between entries —
+        # otherwise earlier queries' cached blocks add GC pressure to
+        # every later entry's timing.
+        gc.collect()
 
     # End-to-end medallion pipeline (BASELINE.md bench plan): generate the
     # reference's default scale (10k policies, seed 42 —

@@ -179,7 +179,9 @@ def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],
 def capped_band_candidates(bands: DataFrame, bucket_cap: int,
                            payload: tuple[str, ...] = (),
                            group_col: str | None = None,
-                           distinct: bool = True) -> DataFrame:
+                           distinct: bool = True,
+                           broadcast_sizes: bool = False,
+                           materialize: bool = True) -> DataFrame:
     """Candidate pairs from a banded signature table, with bounded
     per-bucket fan-out. ``bands``: (doc_id, band_id, band_key, *payload).
 
@@ -218,15 +220,24 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
     the cross-band pair dedup — correct whenever each doc appears in at
     most one bucket per band_id (e.g. single-band sign-LSH), saving a
     shuffle of the candidate payload.
+
+    ``broadcast_sizes=True`` broadcasts the per-bucket size table into the
+    annotation join (no shuffle of the band table) — correct ONLY when the
+    key space is bounded (sign-LSH: ≤ 2^planes buckets); MinHash band keys
+    scale with the corpus and must keep the shuffle join.
+    ``materialize=False`` skips the band-table localCheckpoint — right when
+    the upstream subtree is a cheap projection; keep the default for
+    expensive signatures (MinHash wide min-agg), which otherwise recompute
+    per plan branch.
     """
     keys = ["band_id", "band_key"]
-    # The band table feeds 3+ plan branches (size aggregate, both sides of
-    # the small self-join, the oversized side); its upstream subtree is
-    # expensive (MinHash wide min-agg / 8 hyperplane dot products per
-    # vector). Materialize it ONCE to executor-local storage so branches
-    # read cached blocks instead of recomputing signatures per branch —
-    # the in-plan equivalent of `materialize_minhash`'s parquet table.
-    bands = bands.localCheckpoint(eager=False)
+    if materialize:
+        # The band table feeds 3+ plan branches (size aggregate, both
+        # sides of the small self-join, the oversized side); materialize
+        # it ONCE to executor-local storage so branches read cached blocks
+        # instead of recomputing signatures per branch — the in-plan
+        # equivalent of `materialize_minhash`'s parquet table.
+        bands = bands.localCheckpoint(eager=False)
     slim_cols = ["doc_id", *keys] + (
         [group_col] if group_col and group_col not in keys else [])
     slim = bands.select(*slim_cols)
@@ -235,7 +246,7 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
     sizes = slim.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__bn"),
         F.min("doc_id").alias("__rep_id"))
-    ann = bands.join(sizes, keys)
+    ann = bands.join(F.broadcast(sizes) if broadcast_sizes else sizes, keys)
     small = ann.filter(F.col("__bn") <= bucket_cap)
     # The y side stays UNFILTERED raw bands: both members of a candidate
     # pair share a bucket, so the x-side size filter already decides the

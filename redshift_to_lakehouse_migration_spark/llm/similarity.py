@@ -37,9 +37,11 @@ def _capped_bucket_pairs(assigned: DataFrame,
         F.col("bucket_id").alias("band_key"),
         "embedding", "bucket_id",
         F.xxhash64("embedding").alias("__vec_group"))
+    # Sign-LSH has ≤ 2^planes buckets → the size table broadcasts, so the
+    # corpus assignment is never shuffled for the size annotation.
     return capped_band_candidates(
         bands, bucket_cap, payload=("embedding", "bucket_id"),
-        group_col="__vec_group", distinct=False)
+        group_col="__vec_group", distinct=False, broadcast_sizes=True)
 
 
 def dot(a: Column, b: Column) -> Column:
