@@ -181,7 +181,7 @@ ORACLES = {
         )
         SELECT principal_id, actions_7d, objects_7d,
                actions_7d * n_principals AS weighted_actions,
-               2 * total_actions AS threshold
+               CAST(2 * total_actions AS BIGINT) AS threshold
         FROM per_principal, totals
         WHERE actions_7d * n_principals > 2 * total_actions
         ORDER BY actions_7d DESC, principal_id

@@ -122,3 +122,30 @@ def test_hll_estimates_bounded(spark):
         assert abs(r.approx_users - exact) <= max(2, 0.05 * exact), r
         checked += 1
     assert checked == len(exact_by_day) + 1
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_dtype_width_parity(name, spark, oracle_con):
+    """The DRIVER's canonicalizer is width-sensitive where this replica's
+    string normalization is not: DuckDB widening SUM(BIGINT)/`//` to
+    HUGEINT lands as float64/object in pandas and flips the driver hash
+    even when values are identical (five r3 red rows were exactly this).
+    Guard the class: every column Spark types as integral must come back
+    from DuckDB as an integer pandas dtype, and no oracle may emit a list
+    column (the driver canonicalizer crashes on unhashable cells)."""
+    ddf = oracle_con.execute(ORACLES[name]).df()
+    stypes = {f.name: f.dataType.simpleString()
+              for f in QUERIES[name](spark, SF_DIR).schema.fields}
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    int_dtypes = {"int8", "int16", "int32", "int64",
+                  "uint8", "uint16", "uint32", "uint64"}
+    for col, dt in ddf.dtypes.astype(str).items():
+        st = stypes.get(col)
+        if st in integral:
+            assert dt in int_dtypes, (
+                f"{name}.{col}: Spark {st} vs DuckDB pandas {dt} — "
+                f"pin the oracle with CAST(... AS BIGINT)")
+        if st is not None:
+            assert not st.startswith("array"), (
+                f"{name}.{col}: array column reaches the driver "
+                f"canonicalizer — emit a delimited string instead")
