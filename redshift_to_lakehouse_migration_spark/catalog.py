@@ -30,12 +30,22 @@ from .recon import ReconResult
 
 
 def quote_literal(value: str) -> str:
-    """Escape ``value`` for interpolation into a single-quoted Spark SQL
-    string literal. DDL statements (COMMENT, LOCATION, TBLPROPERTIES) take
-    no bind parameters, so every interpolated literal must be escaped —
-    a quote in untrusted metadata otherwise breaks (or injects into) the
-    statement."""
-    return value.replace("\\", "\\\\").replace("'", "\\'")
+    """Escape ``value`` for interpolation into a single-quoted literal of a
+    Spark DDL statement (COMMENT, LOCATION, TBLPROPERTIES). DDL takes no
+    bind parameters, so every interpolated literal must be escaped — a
+    quote in untrusted metadata otherwise breaks (or injects into) the
+    statement.
+
+    Quotes are escaped by DOUBLING (``''``) rather than backslashing: the
+    parser accepts ``''`` in its default mode, and doubling survives
+    ``spark.sql.parser.escapedStringLiterals=true`` as well because DDL
+    property/comment literals are unescaped with the DEFAULT (backslash)
+    unescaper regardless of that conf — verified empirically on Spark
+    4.1.2 (the conf only changes query-context literals). For the same
+    reason backslashes are always doubled here: a raw trailing backslash
+    would swallow the closing quote.
+    """
+    return value.replace("\\", "\\\\").replace("'", "''")
 
 
 def quote_ident(name: str) -> str:

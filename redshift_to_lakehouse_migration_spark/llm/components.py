@@ -40,6 +40,9 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
     )
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
+    # prev must exist before the loop: with max_iter < 1 the for/else
+    # non-convergence branch runs immediately and diffs against it.
+    prev = labels
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["dst"] == labels["node"])

@@ -176,7 +176,7 @@ def minhash_band_keys(sh: DataFrame, perms: list[tuple[int, int]],
         f"stack({n_bands}, {stack_args}) AS (band_id, band_key)")
 
 
-def capped_band_candidates(bands: DataFrame, bucket_cap: int,
+def capped_band_candidates(bands: DataFrame, bucket_cap: int | None,
                            payload: tuple[str, ...] = (),
                            group_col: str | None = None,
                            distinct: bool = True,
@@ -184,6 +184,13 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
                            materialize: bool = True) -> DataFrame:
     """Candidate pairs from a banded signature table, with bounded
     per-bucket fan-out. ``bands``: (doc_id, band_id, band_key, *payload).
+
+    ``bucket_cap=None`` disables the cap entirely: plain all-pairs
+    self-join on the band key with NO size aggregate and NO oversized
+    branches in the plan — exact bucket semantics at the smallest plan.
+    That is the right mode when results must match an uncapped
+    all-pairs oracle, or when the input is known boilerplate-free; the
+    capped default is the 100 TB scale path.
 
     Buckets of ≤ ``bucket_cap`` docs self-join all-pairs as usual. An
     OVERSIZED bucket (degenerate band key: boilerplate near-identical docs
@@ -226,9 +233,14 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
     key space is bounded (sign-LSH: ≤ 2^planes buckets); MinHash band keys
     scale with the corpus and must keep the shuffle join.
     ``materialize=False`` skips the band-table localCheckpoint — right when
-    the upstream subtree is a cheap projection; keep the default for
-    expensive signatures (MinHash wide min-agg), which otherwise recompute
-    per plan branch.
+    the upstream subtree is a cheap projection or already a parquet scan
+    (re-reading compact files beats holding checkpoint blocks); keep the
+    default for expensive signatures (MinHash wide min-agg), which
+    otherwise recompute per plan branch. Caveat of the default:
+    localCheckpoint blocks are NOT replicated, so losing an executor
+    mid-job fails the job (it restarts from the source) instead of
+    recomputing the lost blocks — parquet-backed inputs with
+    ``materialize=False`` avoid that failure mode entirely.
     """
     keys = ["band_id", "band_key"]
     if materialize:
@@ -238,6 +250,21 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
         # instead of recomputing signatures per branch — the in-plan
         # equivalent of `materialize_minhash`'s parquet table.
         bands = bands.localCheckpoint(eager=False)
+    if bucket_cap is None:
+        # Uncapped: the self-join IS the candidate set. No size table,
+        # no annotation join, no (empty) oversized branches to plan.
+        cand = (
+            bands.alias("x").join(
+                bands.alias("y"),
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_id_1"),
+                    F.col("y.doc_id").alias("doc_id_2"),
+                    *[F.col(f"x.{c}").alias(f"{c}_1") for c in payload],
+                    *[F.col(f"y.{c}").alias(f"{c}_2") for c in payload])
+        )
+        return cand.distinct() if distinct else cand
     slim_cols = ["doc_id", *keys] + (
         [group_col] if group_col and group_col not in keys else [])
     slim = bands.select(*slim_cols)
@@ -315,14 +342,17 @@ def capped_band_candidates(bands: DataFrame, bucket_cap: int,
 
 
 def _lsh_candidate_verify(sh: DataFrame, bands: DataFrame, threshold: float,
-                          bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+                          bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                          materialize: bool = True) -> DataFrame:
     """Shared LSH tail: banded candidate self-join (bucket-capped) →
     exact-Jaccard verify restricted to candidates. ``sh``:
     (doc_id, shingle); ``bands``: (doc_id, band_id, band_key[, sig_hash]).
     sig_hash (absent in band tables materialized before it existed) turns
-    oversized-bucket stars into per-signature-group stars."""
+    oversized-bucket stars into per-signature-group stars.
+    ``materialize=False`` when ``bands`` is already parquet-backed."""
     group = "sig_hash" if "sig_hash" in bands.columns else None
-    cand = capped_band_candidates(bands, bucket_cap, group_col=group)
+    cand = capped_band_candidates(bands, bucket_cap, group_col=group,
+                                  materialize=materialize)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (
         cand.join(sh.alias("s1"), F.col("doc_id_1") == F.col("s1.doc_id"))
@@ -397,10 +427,13 @@ def minhash_pairs_from_tables(spark, paths: dict[str, str],
     """Scale path, step 2: near-dup pairs from materialized signature
     tables — identical pair set to :func:`minhash_lsh_pairs` (asserted in
     test_dedup.py), but every consumer reads the compact parquet tables
-    instead of re-shingling the corpus."""
+    instead of re-shingling the corpus. ``materialize=False``: the band
+    table is already a compact parquet scan, so a localCheckpoint would
+    only duplicate it into non-replicated executor storage (and an
+    executor loss would then fail the job instead of re-reading files)."""
     sh = spark.read.parquet(paths["shingles"])
     bands = spark.read.parquet(paths["bands"])
-    return _lsh_candidate_verify(sh, bands, threshold)
+    return _lsh_candidate_verify(sh, bands, threshold, materialize=False)
 
 
 def simhash_signatures(docs: DataFrame, id_col: str,

@@ -18,7 +18,7 @@ from .dedup import DEFAULT_BUCKET_CAP, capped_band_candidates
 
 
 def _capped_bucket_pairs(assigned: DataFrame,
-                         bucket_cap: int) -> DataFrame:
+                         bucket_cap: int | None) -> DataFrame:
     """Candidate pairs within sign-LSH buckets with bounded per-bucket
     fan-out — the embedding-side twin of the text-LSH bucket cap.
 
@@ -28,20 +28,28 @@ def _capped_bucket_pairs(assigned: DataFrame,
     e.g. a boilerplate page embedded millions of times) emits B−1 star
     candidates instead of B², and identical vectors pair with their group
     representative directly. Single band ⇒ no cross-band dups ⇒ the pair
-    dedup shuffle is skipped. Output: (doc_id_1, doc_id_2, embedding_1,
-    embedding_2, bucket_id_1, bucket_id_2) with doc_id_1 < doc_id_2.
+    dedup shuffle is skipped. ``bucket_cap=None`` = exact all-pairs
+    within buckets (no cap machinery in the plan). Output: (doc_id_1,
+    doc_id_2, embedding_1, embedding_2, bucket_id_1, bucket_id_2) with
+    doc_id_1 < doc_id_2.
     """
+    group = None if bucket_cap is None else F.xxhash64("embedding")
     bands = assigned.select(
         F.col("vec_id").alias("doc_id"),
         F.lit(0).alias("band_id"),
         F.col("bucket_id").alias("band_key"),
         "embedding", "bucket_id",
-        F.xxhash64("embedding").alias("__vec_group"))
+        *([] if group is None else [group.alias("__vec_group")]))
     # Sign-LSH has ≤ 2^planes buckets → the size table broadcasts, so the
     # corpus assignment is never shuffled for the size annotation.
+    # materialize=False: the band table here is a pure projection over the
+    # assignment (itself a projection over a parquet scan) — recomputing
+    # it per plan branch is cheaper than holding localCheckpoint blocks,
+    # and the non-replicated-block executor-loss caveat goes away.
     return capped_band_candidates(
         bands, bucket_cap, payload=("embedding", "bucket_id"),
-        group_col="__vec_group", distinct=False, broadcast_sizes=True)
+        group_col=None if group is None else "__vec_group",
+        distinct=False, broadcast_sizes=True, materialize=False)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -112,7 +120,8 @@ def lsh_assign(corpus: DataFrame, id_col: str, vec_col: str,
 
 def cosine_near_pairs(assigned: DataFrame, threshold: float,
                       round_digits: int | None = 9,
-                      bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+                      bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                      ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, confined to LSH
     buckets (bucket-equality join — never a global cross join). Output:
     (vec_id_1, vec_id_2, sim) with vec_id_1 < vec_id_2, one row per pair.
@@ -206,7 +215,8 @@ def ivf_topk(corpus_assigned: DataFrame, probes_assigned: DataFrame, k: int,
 
 def topk_within_buckets(assigned: DataFrame, k: int,
                         round_digits: int | None = 9,
-                        bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+                        bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                        ) -> DataFrame:
     """ANN: exact cosine re-rank confined to LSH buckets (equality join).
 
     Buckets past ``bucket_cap`` collapse to per-vector-group star

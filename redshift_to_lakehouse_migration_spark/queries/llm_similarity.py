@@ -84,10 +84,18 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 within LSH buckets: bucket-equality join (never quadratic),
-    exact cosine re-rank inside each bucket."""
+    exact cosine re-rank inside each bucket.
+
+    ``bucket_cap=None``: this entry is hash-checked against an UNCAPPED
+    all-pairs DuckDB oracle, so the capped scale path (library default,
+    512) would silently diverge the moment any sign-LSH bucket outgrows
+    the cap as the corpus scales — the oracle-checked wrapper must carry
+    exact bucket semantics. The capped path stays the library default and
+    is covered by the pathological-star and recall-bound tests in
+    tests/test_dedup.py."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     assigned = sim.lsh_assign(e, "vec_id", "embedding", PROJECTIONS)
-    return sim.topk_within_buckets(assigned, k=3)
+    return sim.topk_within_buckets(assigned, k=3, bucket_cap=None)
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,10 +120,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ threshold) confined to LSH
     buckets — the scale path for semantic dedup: bucket-equality join,
     never a global cross join. Threshold 0.35 is tuned to the synthetic
-    corpus (max pairwise cosine ≈ 0.51); real embedding spaces use ~0.9."""
+    corpus (max pairwise cosine ≈ 0.51); real embedding spaces use ~0.9.
+
+    ``bucket_cap=None`` for oracle exactness — same reasoning as
+    :func:`knn_lsh_bucketed`: the DuckDB oracle is uncapped all-pairs
+    within buckets, so the wrapper must be too; the capped star path
+    remains the scale-facing library default."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     assigned = sim.lsh_assign(e, "vec_id", "embedding", PROJECTIONS)
-    return sim.cosine_near_pairs(assigned, threshold=0.35)
+    return sim.cosine_near_pairs(assigned, threshold=0.35, bucket_cap=None)
 
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,16 +79,27 @@ def test_classification_properties_roundtrip(lakehouse):
 
 def test_quoting_survives_hostile_metadata(lakehouse):
     """A quote in untrusted metadata must become data, not SQL: the
-    classification literal round-trips verbatim and the statement parses."""
+    classification literal round-trips verbatim and the statement parses —
+    under BOTH values of spark.sql.parser.escapedStringLiterals. Quotes
+    are doubled and backslashes are doubled; DDL property literals use the
+    default unescaper regardless of that conf (empirical, Spark 4.1.2),
+    so one encoding serves both modes."""
     spark = lakehouse
     spark.sql("CREATE TABLE gold.quoted_t (x STRING) USING PARQUET")
-    hostile = "tier-1 'quoted', injected"
-    C.classify_table(spark, "gold.quoted_t", hostile, contains_pii=False)
-    tags = C.table_classification(spark, "gold.quoted_t")
-    assert tags["data_classification"] == hostile
+    hostile = "tier-1 'quoted', C:\\path\\, injected"
+    for esc_mode in ("false", "true"):
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", esc_mode)
+        try:
+            C.classify_table(spark, "gold.quoted_t", hostile,
+                             contains_pii=False)
+            tags = C.table_classification(spark, "gold.quoted_t")
+            assert tags["data_classification"] == hostile, esc_mode
+        finally:
+            spark.conf.unset("spark.sql.parser.escapedStringLiterals")
 
 
 def test_quote_ident_parts():
     assert C.quote_ident("gold.dim_policy") == "`gold`.`dim_policy`"
     assert C.quote_ident("we`ird") == "`we``ird`"
-    assert C.quote_literal("it's a 'test'") == "it\\'s a \\'test\\'"
+    assert C.quote_literal("it's a 'test'") == "it''s a ''test''"
+    assert C.quote_literal("a\\b") == "a\\\\b"

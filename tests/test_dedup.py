@@ -196,6 +196,10 @@ def test_connected_components_raises_when_iteration_budget_too_small(spark):
         [(i, i + 1) for i in range(11)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, "a", "b", max_iter=2).collect()
+    # degenerate budget: must still raise the intended RuntimeError (a
+    # prev-unset NameError here would mask the real diagnostic)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "a", "b", max_iter=0).collect()
 
 
 # --- pathological skew: mass-duplicated boilerplate (the 100-TB killer) ---
