@@ -42,14 +42,18 @@ def _capped_bucket_pairs(assigned: DataFrame,
         *([] if group is None else [group.alias("__vec_group")]))
     # Sign-LSH has ≤ 2^planes buckets → the size table broadcasts, so the
     # corpus assignment is never shuffled for the size annotation.
-    # materialize=False: the band table here is a pure projection over the
-    # assignment (itself a projection over a parquet scan) — recomputing
-    # it per plan branch is cheaper than holding localCheckpoint blocks,
-    # and the non-replicated-block executor-loss caveat goes away.
+    # materialize only when capped: the capped plan reads the band table
+    # from 4+ branches (size aggregate, both self-join sides, oversized
+    # lookups), where checkpointing beats recomputing the 8-plane
+    # assignment per branch (measured at sf0.1: ~2.4s vs ~2.8s warm
+    # medians); the uncapped plan has just the two self-join sides, and
+    # there skipping the checkpoint wins (~1.5s) and drops the
+    # non-replicated-block executor-loss caveat.
     return capped_band_candidates(
         bands, bucket_cap, payload=("embedding", "bucket_id"),
         group_col=None if group is None else "__vec_group",
-        distinct=False, broadcast_sizes=True, materialize=False)
+        distinct=False, broadcast_sizes=True,
+        materialize=bucket_cap is not None)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -308,7 +308,118 @@ def test_embedding_pathological_bucket_topk_bounded(spark):
     assert len(per_q) == n
 
 
-def test_mixed_oversized_bucket_pairs_groups_directly(spark):
+def _cluster_pairs(spark, pairset):
+    """All same-cluster (unordered) node pairs under connected components
+    of the given edge set — the dedup-group equivalence a keeper selection
+    actually consumes."""
+    import itertools
+    from collections import defaultdict
+    from redshift_to_lakehouse_migration_spark.llm.components import (
+        connected_components,
+    )
+    if not pairset:
+        return set()
+    e = spark.createDataFrame(list(pairset), "a long, b long")
+    comp = {r.node: r.comp
+            for r in connected_components(e, "a", "b").collect()}
+    groups = defaultdict(list)
+    for n, c in comp.items():
+        groups[c].append(n)
+    return {tuple(sorted(p)) for mem in groups.values()
+            for p in itertools.combinations(mem, 2)}
+
+
+def test_minhash_capped_recall_bound_on_mixed_oversized_buckets(spark):
+    """Measured recall contract for the bucket cap (the docstring caveat in
+    capped_band_candidates, as a number): 3 near-dup families of 30
+    SIMILAR-BUT-NOT-IDENTICAL docs (one token swapped per member, so
+    full-signature groups don't trivially pair them) whose band buckets
+    exceed a cap of 8. Deterministic fixture (seeded) →
+    deterministic recall.
+
+    Contract pinned here (measured on this fixture):
+    - PAIR recall vs the uncapped reference is lossy: 0.245 measured;
+      assert the ≥ 0.2 floor (the price of B−1 stars vs B² pairs).
+    - CLUSTER recall is TOTAL (1.0): multi-band re-bucketing plus
+      star-to-representative edges keep every uncapped dedup GROUP intact,
+      which is the property keeper-selection consumes. Dedup output is
+      unchanged even where the pair list thins.
+    """
+    import random
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows, doc_id = [], 0
+    for f in range(3):
+        base = [vocab[rng.randrange(400)] for _ in range(30)]
+        for m in range(30):
+            toks = list(base)
+            toks[rng.randrange(len(toks))] = f"fam{f}rare{m}"
+            rows.append((doc_id, " ".join(toks)))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    normed = docs.select("doc_id", D.norm_text("text").alias("norm"))
+    sh = D.shingles(normed, "doc_id", "norm")
+    bands = D.minhash_band_keys(sh, D.make_permutations(32, 42), 4)
+
+    def pairs(cap):
+        return {(r.doc_id_1, r.doc_id_2) for r in
+                D._lsh_candidate_verify(sh, bands, 0.5,
+                                        bucket_cap=cap).collect()}
+
+    uncapped, capped = pairs(None), pairs(8)
+    assert uncapped, "fixture regression: no near-dup pairs at all"
+    pair_recall = len(uncapped & capped) / len(uncapped)
+    assert pair_recall >= 0.2, pair_recall
+    sc_u = _cluster_pairs(spark, uncapped)
+    sc_c = _cluster_pairs(spark, capped)
+    assert len(sc_u & sc_c) / len(sc_u) == 1.0
+
+
+def test_embedding_capped_recall_floor_and_uncapped_escape_hatch(spark):
+    """The embedding path is SINGLE-band (one sign-LSH bucketing), so the
+    docstring's residual-loss caveat has no other band to recover through:
+    in a mixed oversized bucket of near-identical-but-UNEQUAL vectors
+    (every vector its own xxhash group), candidates collapse to
+    (bucket-rep, member) pairs and only the representative's own family
+    survives the verify. Pin that measured floor — cluster recall = 1/3
+    with 3 families — so the loss is a documented number, and prove the
+    escape hatch: bucket_cap=None (or a cap above the bucket size)
+    restores the uncapped pair set exactly. Production guidance encoded
+    here: for single-band sign-LSH, prefer raising planes (smaller
+    buckets) or the cap over accepting mixed oversized buckets."""
+    import random
+    from redshift_to_lakehouse_migration_spark.llm import similarity as S
+    rng = random.Random(5)
+    fam_dirs = [[1.0, 0.0, 0.0, 0.2], [0.9, 0.1, 0.05, 0.3],
+                [0.95, 0.05, 0.0, 0.25]]
+    vrows, vid = [], 0
+    for d in fam_dirs:
+        for _ in range(40):
+            vrows.append((vid, [float(c + rng.uniform(-0.003, 0.003))
+                                for c in d]))
+            vid += 1
+    vecs = spark.createDataFrame(vrows, "vec_id long, embedding array<float>")
+    assigned = S.lsh_assign(vecs, "vec_id", "embedding",
+                            S.make_projections(4, 4, seed=7))
+    assert assigned.select("bucket_id").distinct().count() == 1, \
+        "fixture regression: families no longer share one bucket"
+
+    def pairs(cap):
+        return {(r.vec_id_1, r.vec_id_2) for r in
+                S.cosine_near_pairs(assigned, threshold=0.9999,
+                                    bucket_cap=cap).collect()}
+
+    uncapped, capped = pairs(None), pairs(8)
+    assert uncapped
+    sc_u = _cluster_pairs(spark, uncapped)
+    sc_c = _cluster_pairs(spark, capped)
+    cluster_recall = len(sc_u & sc_c) / len(sc_u)
+    # one of three equal-size families survives: measured 1/3 ± the
+    # fixture's family-size arithmetic; assert the band it must sit in
+    assert 0.25 <= cluster_recall <= 0.45, cluster_recall
+    # escape hatches restore exactness: cap above bucket size ≡ uncapped
+    assert pairs(200) == uncapped
+    assert pairs(None) == uncapped
     """A band-key collision can mix DISTINCT duplicate families in one
     oversized bucket. Per-group stars must pair each family's members with
     their own group representative (verify-passing sim 1.0 pairs), not only

@@ -124,6 +124,56 @@ def test_hll_estimates_bounded(spark):
     assert checked == len(exact_by_day) + 1
 
 
+def test_audit_anomalous_access_nonempty_parity(spark, tmp_path):
+    """audit_anomalous_access returns ZERO rows at every driver SF (no
+    principal exceeds 2x the mean in the uniform synthetic log), so its
+    driver hash rows are vacuously green — the oracle's value columns
+    (incl. the r4 BIGINT-pinned threshold) have never been compared on
+    actual data. Exercise the pair on a synthetic log engineered to
+    produce anomalies and hash-compare the non-empty results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 3, 1, 12, 0, 0)
+    rows = []
+    # principal 1: 20 actions (anomalous); principals 2-5: 2 each.
+    for i in range(20):
+        rows.append((i, base + timedelta(hours=i), 1,
+                     "read", 1.0, '{"k": %d}' % (i % 3)))
+    for p in range(2, 6):
+        for j in range(2):
+            rows.append((100 * p + j, base + timedelta(hours=j), p,
+                         "read", 1.0, '{"k": 1}'))
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(table, tmp_path / "events.parquet")
+
+    sdf = QUERIES["audit_anomalous_access"](spark, str(tmp_path))
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert len(s_rows) >= 1  # the whole point: a NON-vacuous comparison
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    rel = con.sql(ORACLES["audit_anomalous_access"])
+    d_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(s_rows) == len(d_rows)
+    assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
+    # driver-width contract on the non-empty frame: integral columns
+    # must come back integral from DuckDB (the r4 threshold pin)
+    for col, dt in con.sql(ORACLES["audit_anomalous_access"]).df() \
+            .dtypes.astype(str).items():
+        assert dt.startswith(("int", "uint")), (col, dt)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_dtype_width_parity(name, spark, oracle_con):
     """The DRIVER's canonicalizer is width-sensitive where this replica's
