@@ -263,7 +263,9 @@ def funnel(docs: DataFrame) -> DataFrame:
 
 
 def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
-                        out_dir: str) -> DataFrame:
+                        out_dir: str,
+                        timings: dict[str, float] | None = None,
+                        ) -> DataFrame:
     """Materializing runner: write every stage to parquet (restartable,
     inspectable — the medallion discipline applied to corpus prep) and
     return the funnel stats.
@@ -271,10 +273,24 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
     Per-stage (docs, tokens) come from ``Observation`` metrics collected
     DURING each stage's write — zero extra jobs, where re-aggregating the
     written tables would re-scan every stage (six more corpus-sized passes
-    at 100 TB)."""
+    at 100 TB).
+
+    ``timings``: pass a dict to receive per-stage wall seconds (each
+    stage's plan execution + parquet write), keyed by stage artifact name
+    — the observability hook a production run records next to row counts.
+    """
+    import time
+
     from pyspark.sql import Observation
 
     stats: list[tuple[int, str, int, int]] = []
+
+    def timed(key: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        if timings is not None:
+            timings[key] = round(time.perf_counter() - t0, 3)
+        return out
 
     def write_stage(df: DataFrame, path: str, stage: str) -> DataFrame:
         obs = Observation(f"corpus_{stage}")
@@ -282,7 +298,8 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
             obs, F.count(F.lit(1)).cast("long").alias("docs"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
             .alias("tokens"))
-        observed.write.mode("overwrite").parquet(f"{out_dir}/{path}")
+        timed(path, lambda: observed.write.mode("overwrite")
+              .parquet(f"{out_dir}/{path}"))
         got = obs.get
         stats.append((STAGES.index(stage), stage,
                       got["docs"], got["tokens"]))
@@ -296,8 +313,9 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
     # Materialize the near-dup signature table ONCE; the pair join and the
     # size denominators (3 consumers) read this compact parquet instead of
     # re-shingling the exact_dedup table per consumer.
-    build_shingle_blocks(exact).write.mode("overwrite") \
-        .parquet(f"{out_dir}/shingle_blocks")
+    timed("shingle_blocks",
+          lambda: build_shingle_blocks(exact).write.mode("overwrite")
+          .parquet(f"{out_dir}/shingle_blocks"))
     shb = spark.read.parquet(f"{out_dir}/shingle_blocks")
 
     canon = write_stage(stage_near_dup_canonical(exact, shingle_blocks=shb),
@@ -310,8 +328,9 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
                         "decontaminated")
     sampled = write_stage(stage_sample(clean), "sampled", "sampled")
 
-    stage_pack(sampled).write.mode("overwrite") \
-        .parquet(f"{out_dir}/packed_bins")
+    timed("packed_bins",
+          lambda: stage_pack(sampled).write.mode("overwrite")
+          .parquet(f"{out_dir}/packed_bins"))
 
     return spark.createDataFrame(
         sorted(stats),
