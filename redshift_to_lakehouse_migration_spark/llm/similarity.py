@@ -135,6 +135,16 @@ def cosine_near_pairs(assigned: DataFrame, threshold: float,
     per-vector-group stars — B−1 candidates, not B² — exactly like the
     text-LSH paths. Skewed-but-legitimate buckets can instead be split by
     raising the plane count (more, smaller buckets).
+
+    Measured limits of those mitigations (tests/test_dedup.py, round-5
+    fixtures): plane-raising separates CO-BUCKETED DISTINCT families only
+    when they are angularly distinguishable — families at pairwise cosine
+    0.985–0.997 still co-bucket at 8–16 planes and split only (seed-
+    dependently) around 24; sign-LSH is angle-blind below that. For
+    corpora dominated by near-identical-but-unequal mass duplicates the
+    reliable levers are a larger ``bucket_cap`` (cost B·cap candidates) or
+    ``bucket_cap=None`` when results must be exact — a cap at or above
+    the realized bucket size reproduces uncapped output bit-for-bit.
     """
     cand = _capped_bucket_pairs(assigned, bucket_cap)
     sim = cosine(F.col("embedding_1"), F.col("embedding_2"))
