@@ -420,6 +420,9 @@ def test_embedding_capped_recall_floor_and_uncapped_escape_hatch(spark):
     # escape hatches restore exactness: cap above bucket size ≡ uncapped
     assert pairs(200) == uncapped
     assert pairs(None) == uncapped
+
+
+def test_mixed_oversized_bucket_pairs_groups_directly(spark):
     """A band-key collision can mix DISTINCT duplicate families in one
     oversized bucket. Per-group stars must pair each family's members with
     their own group representative (verify-passing sim 1.0 pairs), not only
