@@ -124,10 +124,21 @@ def davg(col: str | Column, scale: int = 2, precision: int = 24) -> Column:
     )
 
 
+def d2d_sql(decimal_expr: str) -> str:
+    """DECIMAL→DOUBLE for oracle strings, correctly rounded.
+
+    DuckDB's direct DECIMAL→DOUBLE cast is off by 1 ulp on some values
+    (measured on sf0.5 pricing sums: 2 of 6 groups differ from Python's
+    and Spark's correctly-rounded conversions), which flips value-hash
+    gates once aggregate magnitudes reach ~1e10. Routing through VARCHAR
+    — exact decimal digits, then DuckDB's correctly-rounded string→double
+    parser — matches Spark's BigDecimal.doubleValue() bit-for-bit."""
+    return f"CAST(CAST(({decimal_expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def dsum_sql(col_expr: str, scale: int = 2, precision: int = 24) -> str:
     """DuckDB/ANSI twin of :func:`dsum` for oracle strings."""
-    return (f"CAST(SUM(CAST({col_expr} AS DECIMAL({precision},{scale}))) "
-            f"AS DOUBLE)")
+    return d2d_sql(f"SUM(CAST({col_expr} AS DECIMAL({precision},{scale})))")
 
 
 def davg_sql(col_expr: str, scale: int = 2, precision: int = 24) -> str:

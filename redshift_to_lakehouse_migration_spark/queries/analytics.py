@@ -472,9 +472,10 @@ ORACLES["part_brand_revenue"] = f"""
     SELECT p.p_brand AS brand,
            COUNT(*) AS n_lines,
            COUNT(DISTINCT p.p_partkey) AS n_parts,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+                         AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE)
+               AS revenue,
            {dsum_sql("l_quantity")} AS total_qty
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -735,11 +736,12 @@ ORACLES["recon_metrics_unpivot"] = """
         SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
                CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)
                    AS distinct_orders,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
-                   AS sum_extended_price,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE)
-                   AS sum_quantity,
-               CAST(SUM(CAST(l_discount AS DECIMAL(24,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2)))
+                    AS VARCHAR) AS DOUBLE) AS sum_extended_price,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,2)))
+                    AS VARCHAR) AS DOUBLE) AS sum_quantity,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(24,4)))
+                    AS VARCHAR) AS DOUBLE)
                    / COUNT(l_discount) AS avg_discount
         FROM lineitem
     )
@@ -874,10 +876,10 @@ QUERIES["sql_api_pricing_summary"] = sql_api_pricing_summary
 ORACLES["sql_api_pricing_summary"] = """
     SELECT l_returnflag AS return_flag,
            l_linestatus AS line_status,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE)
-               AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
-               AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,2)))
+                AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2)))
+                AS VARCHAR) AS DOUBLE) AS sum_base_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -934,11 +936,12 @@ ORACLES["nation_market_share"] = """
         GROUP BY r_name, n_name
     )
     SELECT region, nation,
-           CAST(rev AS DOUBLE) AS nation_revenue,
-           CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
-               AS region_revenue,
-           CAST(FLOOR(CAST(rev AS DOUBLE) * 10000
-                      / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE))
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS nation_revenue,
+           CAST(CAST(SUM(rev) OVER (PARTITION BY region) AS VARCHAR)
+                AS DOUBLE) AS region_revenue,
+           CAST(FLOOR(CAST(CAST(rev AS VARCHAR) AS DOUBLE) * 10000
+                      / CAST(CAST(SUM(rev) OVER (PARTITION BY region)
+                             AS VARCHAR) AS DOUBLE))
                 AS BIGINT) AS share_bps
     FROM per_nation
     ORDER BY region, nation

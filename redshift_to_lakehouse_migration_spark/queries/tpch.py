@@ -130,7 +130,8 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
 }
 
-_DSUM_REV = f"CAST(SUM(CAST({_REV_SQL} AS DECIMAL(30,4))) AS DOUBLE)"
+_DSUM_REV = (f"CAST(CAST(SUM(CAST({_REV_SQL} AS DECIMAL(30,4))) "
+             f"AS VARCHAR) AS DOUBLE)")
 
 ORACLES = {
     "q3_shipping_priority": f"""

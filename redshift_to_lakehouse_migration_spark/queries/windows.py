@@ -137,13 +137,14 @@ ORACLES = {
                o_orderkey AS order_id,
                CAST(o_orderdate AS DATE) AS order_date,
                o_totalprice AS total_price,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS DOUBLE) AS running_revenue,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+                   AS VARCHAR) AS DOUBLE) AS running_revenue,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS VARCHAR) AS DOUBLE)
                / COUNT(*) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,

@@ -37,12 +37,24 @@ DEFAULT_CONF: dict[str, str] = {
 def get_spark(app_name: str = "redshift_to_lakehouse_migration_spark",
               master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's defaults."""
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``spark.driver.memory`` (override: $SPARK_GRAFT_DRIVER_MEM) is set
+    HERE, not in DEFAULT_CONF, because it only takes effect when this call
+    launches the JVM (the builder conf is forwarded to the spark-submit
+    command line); on an already-running gateway it is a no-op. Spark's
+    1g default is sized for a cluster driver that only coordinates — in
+    local[N] mode the "driver" heap is ALSO all N executors' working
+    memory, where 1g falls over well before the data does (measured: a
+    full-registry run at 5x the driver's largest test scale kills the
+    JVM mid-suite at 1g and completes with headroom at 8g)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    conf = {**DEFAULT_CONF, **(extra_conf or {})}
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    conf = {"spark.driver.memory": driver_mem,
+            **DEFAULT_CONF, **(extra_conf or {})}
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -102,3 +102,16 @@ def test_tune_for_session_applies_runtime_confs(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert "InferFiltersFromGenerate" in spark.conf.get(
         "spark.sql.optimizer.excludedRules", "")
+
+
+def test_get_spark_sets_driver_memory(spark):
+    """get_spark must request a real driver heap at JVM launch: Spark's 1g
+    default is a cluster-coordinator size, but in local[N] the driver heap
+    IS all N executors' working memory (measured: a full-registry run at
+    5x the largest driver scale kills a 1g JVM mid-suite). The session
+    fixture was built by get_spark, so the conf must be present and the
+    live JVM's max heap must be well past the 1g default."""
+    assert spark.conf.get("spark.driver.memory") == "8g"
+    max_gib = (spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+               / 2 ** 30)
+    assert max_gib > 4, f"JVM max heap {max_gib:.1f} GiB — launch conf lost"

@@ -174,6 +174,34 @@ def test_audit_anomalous_access_nonempty_parity(spark, tmp_path):
         assert dt.startswith(("int", "uint")), (col, dt)
 
 
+def test_decimal_double_cast_parity_at_scale(spark):
+    """DuckDB's direct DECIMAL→DOUBLE cast is off by one ulp on some
+    values (found by the sf0.5 replica: 2 of agg_pricing_summary's 6
+    sum_charge groups at ~1.4e10 — below the driver SFs the sums never
+    reach the tripping magnitudes, which is why four rounds of sf0.01
+    gates missed it), while Spark's cast is correctly rounded — so every
+    oracle converts via CAST(CAST(x AS VARCHAR) AS DOUBLE)
+    (`functions.d2d_sql`), whose string→double parse IS correctly
+    rounded. Pin the three-way contract on the exact values that tripped
+    the replica: Python float(Decimal) is the correctly-rounded referee;
+    Spark's direct cast and the oracle's d2d_sql route must both match
+    it bit-for-bit. (decimal literals — exact on every path.)"""
+    from redshift_to_lakehouse_migration_spark.functions import d2d_sql
+
+    vals = ["14059786862.086451", "14085844849.391201",  # divergent
+            "14074817504.332457", "13992822269.049598"]  # control
+    con = duckdb.connect()
+    for v in vals:
+        correct = float(Decimal(v))
+        s = spark.sql(
+            f"SELECT CAST(CAST('{v}' AS DECIMAL(38,6)) AS DOUBLE) AS x"
+        ).collect()[0].x
+        assert s == correct, (v, s, correct)
+        lit = f"CAST('{v}' AS DECIMAL(38,6))"
+        d = con.sql(f"SELECT {d2d_sql(lit)} AS x").fetchone()[0]
+        assert d == correct, (v, d, correct)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_dtype_width_parity(name, spark, oracle_con):
     """The DRIVER's canonicalizer is width-sensitive where this replica's
