@@ -40,7 +40,14 @@ DEFAULT_SHINGLE_DF_CAP = 1024
 
 
 def norm_text(text: str | Column) -> Column:
-    """Whitespace-collapse + lowercase + trim (the dedup normalizer)."""
+    """Whitespace-collapse + lowercase + trim (the dedup normalizer).
+
+    Cross-engine parity envelope (pinned in tests/test_text_parity.py):
+    identical to the DuckDB oracle twin for text whose separators are
+    {space, tab, newline, CR, FF} and whose letters case-fold 1:1 —
+    which covers the whole driver corpus. Known divergences outside it:
+    Java ``\\s`` includes \\x0B where RE2's does not, and Java lowercases
+    İ (U+0130) to i+combining-dot where utf8proc yields plain i."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
