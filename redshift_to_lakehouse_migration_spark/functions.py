@@ -110,6 +110,14 @@ def dsum(col: str | Column, scale: int = 2, precision: int = 24) -> Column:
 
     Exact (order-independent) for money-like columns; final DOUBLE keeps the
     output schema engine-neutral.
+
+    Corrupt-input policy (pinned in test_functions.py, Spark 4.1 ANSI on):
+    NaN/±Infinity inputs cast to NULL and are silently EXCLUDED from the
+    sum, while finite values overflowing the decimal width fail the job
+    loudly. A DuckDB oracle errors on non-finite decimal casts instead,
+    so NaN-bearing data turns the hash gate red rather than silently
+    diverging. Where silent NaN exclusion is unacceptable, gate the input
+    with ``quality.expression_check(isnan(c) | ~isfinite(c))`` first.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")

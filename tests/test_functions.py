@@ -104,6 +104,25 @@ def test_tune_for_session_applies_runtime_confs(spark):
         "spark.sql.optimizer.excludedRules", "")
 
 
+def test_dsum_corrupt_input_policy(spark):
+    """Pin dsum's corrupt-input policy under Spark 4.1's default ANSI
+    mode (found by a hostile-data oracle probe): non-finite doubles cast
+    to NULL — silently excluded from the sum — while a finite value too
+    wide for the decimal fails the job loudly. If a Spark upgrade ever
+    changes either behavior, this catches it before the oracles do."""
+    import pytest as _pytest
+
+    from redshift_to_lakehouse_migration_spark.functions import dsum
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan",),), (float("inf"),), (2.5,)], "v double")
+    assert df.agg(dsum("v").alias("s")).collect()[0].s == 3.5
+
+    too_wide = spark.createDataFrame([(1e23,)], "v double")
+    with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        too_wide.agg(dsum("v").alias("s")).collect()
+
+
 def test_get_spark_sets_driver_memory(spark):
     """get_spark must request a real driver heap at JVM launch: Spark's 1g
     default is a cluster-coordinator size, but in local[N] the driver heap
