@@ -19,8 +19,12 @@ DEFAULT_CONF: dict[str, str] = {
     # scan-stage filter conjuncts (size(expr)>0 AND isnotnull(expr)); with
     # expensive array builders (n-gram/shingle transform+array_distinct)
     # that evaluates the whole array per row a second time before the
-    # explode — measured 3x slowdown on the gram/token queries. The rule
-    # only prunes empty-array rows, which our explodes handle anyway.
+    # explode — measured 3x slowdown on round-1 gram/token query shapes.
+    # Re-measured in r5 on the current shapes (shingle builders now emit
+    # non-empty arrays via greatest(), so the cloned filter folds away):
+    # toggling the rule is within noise at sf0.5. Exclusion retained — it
+    # is free, and it keeps the expensive-generator hazard from silently
+    # returning with a future query whose array builder is empty-able.
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.adaptive.enabled": "true",

@@ -95,7 +95,8 @@ def test_spread_parallelizes_small_scans_only(spark):
 def test_tune_for_session_applies_runtime_confs(spark):
     """Any externally-built session (the driver's) must pick up the
     runtime-settable engine confs on first table load: UTC timezone and
-    the InferFiltersFromGenerate exclusion (a measured 3x regression on
+    the InferFiltersFromGenerate exclusion (a guard for a measured
+    round-1 3x regression on
     gram/shingle queries if it re-appears)."""
     from redshift_to_lakehouse_migration_spark.session import tune_for_session
     tune_for_session(spark)
