@@ -131,7 +131,11 @@ def test_get_spark_sets_driver_memory(spark):
     5x the largest driver scale kills a 1g JVM mid-suite). The session
     fixture was built by get_spark, so the conf must be present and the
     live JVM's max heap must be well past the 1g default."""
-    assert spark.conf.get("spark.driver.memory") == "8g"
-    max_gib = (spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
-               / 2 ** 30)
-    assert max_gib > 4, f"JVM max heap {max_gib:.1f} GiB — launch conf lost"
+    import os
+    expected = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    assert spark.conf.get("spark.driver.memory") == expected
+    if expected == "8g":          # heap check only for the known default
+        max_gib = (spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+                   / 2 ** 30)
+        assert max_gib > 4, \
+            f"JVM max heap {max_gib:.1f} GiB — launch conf lost"
