@@ -510,16 +510,19 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists but failed to parse (the DuckDB oracle's twin predicate is
     `NOT json_valid(props)`).
 
-    Equivalence assumption (narrower than full JSON semantics): the two
-    predicates agree on syntactically-invalid JSON — the only corruption
-    mode in the driver corpus — but diverge on WELL-FORMED documents that
-    violate the schema: `from_json` also flags valid non-object JSON
-    (`"5"`, `[1]`) and objects whose `k` is mistyped (`{"k":"abc"}`,
-    `{"k":"12"}`), which `json_valid` accepts (k parses as NULL — or as 12
-    via string coercion). On a corpus containing such documents the Spark
-    column is the stricter, schema-aware count by design; the oracle would
-    need json_type checks on both the document and the `$.k` field to
-    match."""
+    Equivalence assumption (narrower than full JSON semantics, pinned
+    case-by-case in tests/test_text_parity.py): the two predicates agree
+    on syntactically-invalid NON-EMPTY JSON — the only corruption mode in
+    the driver corpus — but diverge on WELL-FORMED documents that violate
+    the schema: `from_json` also flags valid non-object JSON (`"5"`,
+    `[1]`) and objects whose `k` is mistyped (`{"k":"abc"}`,
+    `{"k":"12"}`), which `json_valid` accepts (k parses as NULL — or as
+    12 via string coercion); and the EMPTY STRING diverges the other way
+    (`from_json('')` yields a null-field struct with no corrupt record —
+    Spark treats it as absent — where `json_valid('')` is false). On a
+    corpus containing such documents the Spark column is the stricter,
+    schema-aware count by design; the oracle would need json_type checks
+    on both the document and the `$.k` field to match."""
     e = load(spark, sf_dir, "events")
     parsed = e.withColumn(
         "p",

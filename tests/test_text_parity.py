@@ -82,3 +82,39 @@ def test_turkish_dotted_capital_divergence_pinned(spark):
     sp, du = _spark_tokens(spark, s), _duck_tokens(s)
     assert sp == ["i̇stanbul"]       # full casefold: i + combining dot
     assert du == ["istanbul"]             # utf8proc: plain i
+
+
+def test_json_corruption_predicate_envelope(spark):
+    """Pin the events_json_typed docstring's equivalence assumption
+    case-by-case: Spark's corrupt-record column vs DuckDB's
+    NOT json_valid agree on syntactically-invalid NON-EMPTY documents
+    (the driver corpus's only corruption mode) and on NULL/valid-object
+    cases; they diverge — each in a documented direction — on
+    schema-violating well-formed JSON (Spark stricter) and on the empty
+    string (DuckDB stricter)."""
+    from pyspark.sql import functions as F
+
+    cases = ['{"k": 5}', '{"k": null}', '{"j": 1}',   # agree: not corrupt
+             'not json',                              # agree: corrupt
+             '{"k": "12"}', '{"k": "abc"}', '"5"', '[1]',  # spark-only
+             '']                                      # duckdb-only
+    df = spark.createDataFrame([(c,) for c in cases], "props string")
+    parsed = df.withColumn(
+        "p", F.from_json("props", "k INT, _corrupt STRING",
+                         {"columnNameOfCorruptRecord": "_corrupt"}))
+    spark_corrupt = {r.props: r.c is not None
+                     for r in parsed.select("props",
+                                            F.col("p._corrupt").alias("c"))
+                     .collect()}
+    con = duckdb.connect()
+    duck_corrupt = {c: not con.execute("SELECT json_valid(?)",
+                                       [c]).fetchone()[0]
+                    for c in cases}
+
+    agree_clean = ['{"k": 5}', '{"k": null}', '{"j": 1}']
+    for c in agree_clean:
+        assert not spark_corrupt[c] and not duck_corrupt[c], c
+    assert spark_corrupt["not json"] and duck_corrupt["not json"]
+    for c in ['{"k": "12"}', '{"k": "abc"}', '"5"', '[1]']:
+        assert spark_corrupt[c] and not duck_corrupt[c], c   # Spark stricter
+    assert not spark_corrupt[""] and duck_corrupt[""]        # DuckDB stricter
