@@ -104,8 +104,11 @@ def stage_near_dup_canonical(deduped: DataFrame,
 
 
 def _grams(text_col: F.Column) -> F.Column:
-    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
-    toks = F.split(norm, " ")
+    # Single-pass tokenization (split on \s+, no collapse pass): token-
+    # identical to the normalize-then-split form — see _gram_arrays in
+    # queries/curation.py and tests/test_text_parity.py — but one per-byte
+    # regex pass instead of two over the corpus text.
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     grams = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),

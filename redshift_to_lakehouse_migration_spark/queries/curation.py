@@ -29,10 +29,19 @@ BENCH_MOD = 97
 
 def _gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document array of distinct word NGRAM_N-grams (map-side only:
-    normalize → split → sliding window → array_distinct, no explode)."""
+    normalize → split → sliding window → array_distinct, no explode).
+
+    Tokenization is one pass — ``split`` on ``\\s+`` directly, not
+    collapse-whitespace-then-split: each maximal whitespace run is one
+    separator either way (leading/trailing runs yield the same empty
+    tokens under Spark's limit=-1), so token arrays are identical
+    (pinned in tests/test_text_parity.py) while skipping a full
+    regexp_replace rewrite of every corpus byte — one of the two
+    dominant per-byte passes in the decontamination scan at 100 TB.
+    The DuckDB oracle keeps the two-step form; parity holds because the
+    token arrays agree."""
     d = spread(load(spark, sf_dir, "documents"), spark)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = F.split(norm, " ")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),

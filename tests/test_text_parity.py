@@ -118,3 +118,26 @@ def test_json_corruption_predicate_envelope(spark):
     for c in ['{"k": "12"}', '{"k": "abc"}', '"5"', '[1]']:
         assert spark_corrupt[c] and not duck_corrupt[c], c   # Spark stricter
     assert not spark_corrupt[""] and duck_corrupt[""]        # DuckDB stricter
+
+
+def test_single_pass_tokenizer_equals_collapse_form(spark):
+    """The gram tokenizers (queries/curation.py, llm/pipeline.py) split on
+    \\s+ in ONE pass; this pins their equivalence to the two-pass
+    collapse-whitespace-then-split form the DuckDB oracles still use:
+    each maximal whitespace run is one separator either way, and
+    leading/trailing runs yield the same empty tokens under limit=-1.
+    Checked over the agreement corpus plus the run-boundary edges the
+    class-level cases do not cover."""
+    from pyspark.sql import functions as F
+
+    cases = AGREEMENT + [
+        "\t\ttab lead", "trail tab\t\t", "\n", "", " ", "a  \t\n  b",
+        "and\x0bvertical",            # VT: Java \s in BOTH Spark forms
+        "mixed \t runs\n\n between \r\f tokens ",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    one_pass = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    two_pass = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    assert df.select(one_pass.alias("a"), two_pass.alias("b")) \
+        .filter("a <> b").count() == 0
