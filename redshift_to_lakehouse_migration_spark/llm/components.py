@@ -72,6 +72,11 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
         # non-canonical near-dups survive silently. Fail loudly instead.
         # The REAL moving-label count (the limit(1) probe above only proves
         # existence) is worth one extra job on this failure-only path.
+        if prev is labels:  # max_iter < 1: no iteration ran, nothing to diff
+            raise RuntimeError(
+                f"connected_components did not converge: max_iter="
+                f"{max_iter} permitted no iterations"
+            )
         still_moving = (
             labels.alias("n").join(prev.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp")).count()

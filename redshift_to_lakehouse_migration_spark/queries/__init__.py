@@ -131,6 +131,13 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
 if _missing:
     raise ValueError(f"DRIVER_SAMPLE_PRIORITY names unknown: {_missing}")
+# The driver samples the FIRST 50 entries; the rotation is engineered to
+# fill exactly those slots. A silent off-by-one would swap which query
+# occupies slot 50, so pin the count.
+if len(DRIVER_SAMPLE_PRIORITY) != 50:
+    raise ValueError(
+        f"DRIVER_SAMPLE_PRIORITY must hold exactly 50 names "
+        f"(driver sample size); got {len(DRIVER_SAMPLE_PRIORITY)}")
 QUERIES = {
     **{n: QUERIES[n] for n in DRIVER_SAMPLE_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in DRIVER_SAMPLE_PRIORITY},

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import count_if, davg, davg_sql, dsum, dsum_sql, sum_if
+from ..functions import (count_if, d2d_sql, davg, davg_sql, dsum, dsum_sql,
+                         sum_if)
 from ..tables import load
 
 
@@ -468,14 +469,15 @@ def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["part_brand_revenue"] = part_brand_revenue
 
+_DISC_REV_SUM = ("SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+                 "* (1 - CAST(l_discount AS DECIMAL(4,2))) "
+                 "AS DECIMAL(30,4)))")
+
 ORACLES["part_brand_revenue"] = f"""
     SELECT p.p_brand AS brand,
            COUNT(*) AS n_lines,
            COUNT(DISTINCT p.p_partkey) AS n_parts,
-           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                         AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE)
-               AS revenue,
+           {d2d_sql(_DISC_REV_SUM)} AS revenue,
            {dsum_sql("l_quantity")} AS total_qty
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -731,18 +733,14 @@ def recon_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["recon_metrics_unpivot"] = recon_metrics_unpivot
 
-ORACLES["recon_metrics_unpivot"] = """
+ORACLES["recon_metrics_unpivot"] = f"""
     WITH wide AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
                CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)
                    AS distinct_orders,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2)))
-                    AS VARCHAR) AS DOUBLE) AS sum_extended_price,
-               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,2)))
-                    AS VARCHAR) AS DOUBLE) AS sum_quantity,
-               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(24,4)))
-                    AS VARCHAR) AS DOUBLE)
-                   / COUNT(l_discount) AS avg_discount
+               {dsum_sql("l_extendedprice")} AS sum_extended_price,
+               {dsum_sql("l_quantity")} AS sum_quantity,
+               {davg_sql("l_discount", scale=4)} AS avg_discount
         FROM lineitem
     )
     SELECT metric, value FROM (
@@ -873,13 +871,11 @@ def sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_api_pricing_summary"] = sql_api_pricing_summary
 
-ORACLES["sql_api_pricing_summary"] = """
+ORACLES["sql_api_pricing_summary"] = f"""
     SELECT l_returnflag AS return_flag,
            l_linestatus AS line_status,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,2)))
-                AS VARCHAR) AS DOUBLE) AS sum_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2)))
-                AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           {dsum_sql("l_quantity")} AS sum_qty,
+           {dsum_sql("l_extendedprice")} AS sum_base_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -925,7 +921,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["nation_market_share"] = nation_market_share
 
-ORACLES["nation_market_share"] = """
+_REGION_REV = d2d_sql("SUM(rev) OVER (PARTITION BY region)")
+
+ORACLES["nation_market_share"] = f"""
     WITH per_nation AS (
         SELECT r_name AS region, n_name AS nation,
                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -936,12 +934,9 @@ ORACLES["nation_market_share"] = """
         GROUP BY r_name, n_name
     )
     SELECT region, nation,
-           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS nation_revenue,
-           CAST(CAST(SUM(rev) OVER (PARTITION BY region) AS VARCHAR)
-                AS DOUBLE) AS region_revenue,
-           CAST(FLOOR(CAST(CAST(rev AS VARCHAR) AS DOUBLE) * 10000
-                      / CAST(CAST(SUM(rev) OVER (PARTITION BY region)
-                             AS VARCHAR) AS DOUBLE))
+           {d2d_sql("rev")} AS nation_revenue,
+           {_REGION_REV} AS region_revenue,
+           CAST(FLOOR({d2d_sql("rev")} * 10000 / {_REGION_REV})
                 AS BIGINT) AS share_bps
     FROM per_nation
     ORDER BY region, nation

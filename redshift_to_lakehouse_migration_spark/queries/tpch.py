@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dsum
+from ..functions import d2d_sql, dsum
 from ..tables import load
 
 _REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2)) "
@@ -130,8 +130,7 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
 }
 
-_DSUM_REV = (f"CAST(CAST(SUM(CAST({_REV_SQL} AS DECIMAL(30,4))) "
-             f"AS VARCHAR) AS DOUBLE)")
+_DSUM_REV = d2d_sql(f"SUM(CAST({_REV_SQL} AS DECIMAL(30,4)))")
 
 ORACLES = {
     "q3_shipping_priority": f"""

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions import d2d_sql
 from ..tables import load
 
 
@@ -132,19 +133,18 @@ ORACLES = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
-    "customer_running_revenue": """
+    "customer_running_revenue": f"""
         SELECT o_custkey AS customer_id,
                o_orderkey AS order_id,
                CAST(o_orderdate AS DATE) AS order_date,
                o_totalprice AS total_price,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+               {d2d_sql('''SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS VARCHAR) AS DOUBLE) AS running_revenue,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
+                   AS running_revenue,
+               {d2d_sql('''SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                   AS VARCHAR) AS DOUBLE)
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')}
                / COUNT(*) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,

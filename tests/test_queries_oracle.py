@@ -163,15 +163,17 @@ def test_audit_anomalous_access_nonempty_parity(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"'{tmp_path}/events.parquet'")
     rel = con.sql(ORACLES["audit_anomalous_access"])
+    # driver-width contract: every column integral-width from DuckDB (the
+    # r4 threshold pin). rel.types is static metadata — no execution —
+    # and catches the HUGEINT regression directly, so the query runs
+    # exactly once (the fetchall below).
+    for col, t in zip(rel.columns, rel.types):
+        assert str(t) in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT"), \
+            (col, str(t))
     d_rows = rel.fetchall()
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert len(s_rows) == len(d_rows)
     assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
-    # driver-width contract on the non-empty frame: integral columns
-    # must come back integral from DuckDB (the r4 threshold pin)
-    for col, dt in con.sql(ORACLES["audit_anomalous_access"]).df() \
-            .dtypes.astype(str).items():
-        assert dt.startswith(("int", "uint")), (col, dt)
 
 
 def test_decimal_double_cast_parity_at_scale(spark):

@@ -193,6 +193,13 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
             pa.list_(pa.float32())),
         "label": pa.array(labels.astype(np.int32))}))
 
+    # Completion marker, written LAST: consumers (tools/scale_probe.py)
+    # key regeneration off it, so a killed-mid-run or pre-marker-era
+    # directory is rebuilt instead of silently half-read. The content
+    # identifies what was generated so a parameter change invalidates it.
+    with open(os.path.join(out_dir, "_GEN_COMPLETE"), "w") as f:
+        f.write(f"sf={sf} seed={seed}\n")
+
 
 if __name__ == "__main__":
     main(float(sys.argv[1]),
