@@ -141,3 +141,27 @@ def test_single_pass_tokenizer_equals_collapse_form(spark):
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
     assert df.select(one_pass.alias("a"), two_pass.alias("b")) \
         .filter("a <> b").count() == 0
+
+
+def test_single_pass_tokenizer_equivalence_randomized(spark):
+    """Seeded random corpus over a hostile alphabet (all Java-\\s
+    whitespace chars incl. \\x0b/\\x1c-\\x1f, unicode letters, NBSP,
+    NUL, emoji, combining marks): one-pass and two-pass tokenization
+    must agree on every string. One Spark job for the whole corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    alphabet = (list(" \t\n\x0b\f\r\x1c\x1d\x1e\x1f")
+                + list("abcXYZ09.,!")
+                + list("é漢🎉\xa0\x00̇İı"))
+    corpus = ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 40)))
+              for _ in range(500)]
+    df = spark.createDataFrame([(c,) for c in corpus], "text string")
+    one_pass = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    two_pass = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    assert df.select(one_pass.alias("a"), two_pass.alias("b")) \
+        .filter("a <> b").count() == 0
