@@ -13,6 +13,10 @@ This is min-label propagation (the DataFrame form of union-find):
 Scale shape per round: the join shuffles the (bounded) edge list keyed by
 node, the aggregate shuffles one row per node; `localCheckpoint` after
 each round keeps lineage flat so 10 rounds cost 10× one round, not 2^10.
+(localCheckpoint blocks are NOT replicated — an executor loss mid-
+propagation fails the job instead of recomputing, the same trade
+documented on `capped_band_candidates`; on a fault-prone cluster switch
+to `checkpoint()` with a checkpoint dir for replicated durability.)
 The convergence probe is a LIMIT-1 count — a driver scalar, not a
 collect of data. This is the standard large-star/small-star family
 simplification that holds when components are small (dedup clusters);
