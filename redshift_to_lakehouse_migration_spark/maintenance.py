@@ -23,18 +23,30 @@ from pyspark.sql import DataFrame, SparkSession
 def compact_parquet(spark: SparkSession, path: str,
                     target_mb: int = 256,
                     partition_by: list[str] | None = None) -> int:
-    """Rewrite ``path`` to files of ~``target_mb``. Returns the file count
-    written. Uses a size-based estimate (`df.inputFiles` + fs sizes), not
-    a row count — row width varies wildly across tables."""
+    """Rewrite ``path`` to files of ~``target_mb``. Returns the data-file
+    count written. Uses a size-based estimate (`df.inputFiles` + fs
+    sizes), not a row count — row width varies wildly across tables.
+
+    With ``partition_by``, rows are hash-repartitioned ON the partition
+    columns first: each partition VALUE then lives in exactly one task
+    and writes exactly one file. (A plain ``repartition(n)`` spreads
+    every value across every task, and ``partitionBy`` would then write
+    up to n × n_values files — an explosion, not a compaction.) The cost
+    is one file per partition value regardless of size; split oversized
+    values by adding a derived salt column to the partitioning."""
     import math
     import os
+    from urllib.parse import unquote, urlparse
 
     df = spark.read.parquet(path)
     total_bytes = 0
     missing = 0
     for f in df.inputFiles():
-        local = f.removeprefix("file:")
-        if os.path.exists(local):
+        # inputFiles() returns percent-encoded file: URIs — decode before
+        # stat (a space in the path arrives as %20)
+        parsed = urlparse(f)
+        local = unquote(parsed.path) if parsed.scheme in ("file", "") else None
+        if local is not None and os.path.exists(local):
             total_bytes += os.path.getsize(local)
         else:
             missing += 1
@@ -46,10 +58,15 @@ def compact_parquet(spark: SparkSession, path: str,
             f"size-based planning needs a filesystem-appropriate estimator")
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        writer = (df.repartition(n_files, *partition_by)
+                  .write.mode("overwrite").partitionBy(*partition_by))
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(tmp)
+    n_written = sum(
+        1 for root, _dirs, files in os.walk(tmp)
+        for name in files if name.startswith("part-"))
     # swap with crash-restore: if the second move fails, put the original
     # back so a dataset always exists at `path`
     import shutil
@@ -61,7 +78,7 @@ def compact_parquet(spark: SparkSession, path: str,
         shutil.move(back, path)
         raise
     shutil.rmtree(back)
-    return n_files
+    return n_written
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
@@ -79,7 +96,12 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 def morton_code(a, b, bits: int = 16):
     """Interleave the low ``bits`` of two non-negative ints (Z-order /
     Morton curve): locality in the code ⇒ locality in BOTH dimensions.
-    Pure bitwise column expression — codegen'd, no UDF."""
+    Pure bitwise column expression — codegen'd, no UDF.
+
+    PRECONDITION: inputs must already fit in ``bits`` bits — higher bits
+    are silently discarded, which destroys the locality property (0 and
+    2^bits contribute identical code bits). :func:`write_zordered`
+    min-max-normalizes raw columns into the domain before calling this."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
     ca = a if isinstance(a, Column) else F.col(a)
@@ -108,9 +130,33 @@ def write_zordered(df, path: str, col_a: str, col_b: str,
     scan is the difference between seconds and hours.
 
     repartitionByRange computes range bounds by sampling the z column;
-    sortWithinPartitions makes every row-group monotone in z."""
+    sortWithinPartitions makes every row-group monotone in z.
+
+    Raw columns are min-max-normalized into the ``bits``-bit domain first
+    (one 4-scalar aggregate — a driver action, but constant-sized):
+    :func:`morton_code` discards bits above 2^``bits``, so feeding it a
+    raw wide-domain column (customer ids in the millions) would interleave
+    only the low bits and the layout would stop correlating with the
+    column at all. Normalization is rank-preserving, which is all the
+    curve needs."""
     from pyspark.sql import functions as F
-    zdf = df.withColumn("__z", morton_code(col_a, col_b, bits))
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(F.col(col_a).cast("double")),
+        F.max(F.col(col_a).cast("double")),
+        F.min(F.col(col_b).cast("double")),
+        F.max(F.col(col_b).cast("double"))).collect()[0]
+    top = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        col = F.col(c).cast("double")
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("long")
+        return F.floor((col - F.lit(lo)) * top / F.lit(hi - lo)) \
+            .cast("long")
+
+    zdf = df.withColumn("__z", morton_code(
+        scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits))
     (zdf.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")

@@ -53,15 +53,22 @@ def create_masked_view(spark: SparkSession, base, view_name: str,
     functions; OSS Spark has no group membership, so the role check is the
     explicit ``unmasked`` flag — a privileged session builds the view
     pass-through, an unprivileged one masked, same consumer SQL either way.
+
+    The masked columns are built with the registered mask_* SQL functions
+    directly over ``base`` (selectExpr) and ONLY the masked result is
+    registered as a view — no intermediate raw-data view exists for a
+    consumer to discover, which an earlier ``__{view}_base`` staging view
+    violated (temp views resolve lazily, so a staging view cannot be
+    dropped after creation; it had to go entirely). ``view_name`` must be
+    a single-part name without dots — a Spark temp-view constraint
+    (TEMP_VIEW_NAME_TOO_MANY_NAME_PARTS), not a choice here.
     """
-    # single-part quoting (no dot-splitting: a dot inside a column or temp
-    # view name is part of the name, not a namespace separator)
+    # backtick-quote column names inside the selectExpr strings (hostile
+    # column names: quotes, spaces — same discipline as catalog.quote_ident)
     def q(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
 
     register_sql_functions(spark)
-    base_view = f"__{view_name}_base"
-    base.createOrReplaceTempView(base_view)
     cols = []
     for c in base.columns:
         qc = q(c)
@@ -71,8 +78,7 @@ def create_masked_view(spark: SparkSession, base, view_name: str,
             cols.append(f"mask_email({qc}) AS {qc}")
         else:
             cols.append(qc)
-    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {q(view_name)} "
-              f"AS SELECT {', '.join(cols)} FROM {q(base_view)}")
+    base.selectExpr(*cols).createOrReplaceTempView(view_name)
 
 
 def register_sql_functions(spark: SparkSession) -> None:

@@ -87,10 +87,20 @@ def not_null(column: str) -> Check:
 
 
 def unique(column: str) -> Check:
-    """`check_unique` (`data_quality_checks.py:28-40`): total − distinct."""
+    """`check_unique` (`data_quality_checks.py:28-40`): total − distinct.
+
+    Total is ALL rows and NULL counts as one distinct value, exactly like
+    the reference's ``df.count() − df.select(col).distinct().count()`` —
+    so 5 NULL rows are 4 uniqueness failures. (A plain
+    ``count(col) − countDistinct(col)`` would skip NULLs on both sides
+    and let duplicate-NULL keys sail through.)"""
     return Check(
         f"unique_{column}", column,
-        (F.count(column) - F.countDistinct(column)).cast("long"),
+        (F.count(F.lit(1)) - F.countDistinct(column)
+         - F.coalesce(  # empty input: max() is NULL, not 0
+             F.max(F.when(F.col(column).isNull(), 1).otherwise(0)),
+             F.lit(0)))
+        .cast("long"),
     )
 
 
@@ -125,10 +135,14 @@ def in_range(column: str, min_value: Any = None,
 
 
 def composite_unique(columns: list[str]) -> Check:
-    """`check_no_duplicates_on_composite_key` (`data_quality_checks.py:94-105`)."""
-    key = F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string"), F.lit("_null_"))
-        for c in columns])
+    """`check_no_duplicates_on_composite_key` (`data_quality_checks.py:94-105`).
+
+    Distinct over a STRUCT of the key columns — null-safe field equality,
+    same semantics as the reference's ``df.select(cols).distinct()``. (An
+    earlier string encoding collided: NULL vs the literal sentinel, and
+    separator bytes inside values, could make distinct tuples compare
+    equal.)"""
+    key = F.struct(*[F.col(c) for c in columns])
     return Check(
         "composite_unique_" + "_".join(columns), ",".join(columns),
         (F.count(F.lit(1)) - F.countDistinct(key)).cast("long"),
@@ -194,18 +208,32 @@ def quarantine(df: DataFrame, checks: list[Check]
     return clean, bad
 
 
+def _orphans(df: DataFrame, column: str, ref_df: DataFrame,
+             ref_column: str) -> DataFrame:
+    """Fact rows whose key is absent from the reference side (the plan
+    behind :func:`check_relationships`; split out so tests can assert the
+    broadcast anti-join shape)."""
+    return (
+        df.filter(F.col(column).isNotNull())
+        .join(F.broadcast(
+            ref_df.select(F.col(ref_column).alias(column)).distinct()),
+              on=column, how="left_anti")
+    )
+
+
 def check_relationships(df: DataFrame, column: str, ref_df: DataFrame,
                         ref_column: str,
                         table_name: str | None = None) -> CheckResult:
     """Referential integrity via broadcast LEFT ANTI join
     (`data_quality_checks.py:67-79`). One job; the reference side is
-    broadcast when dimension-sized, else a shuffled anti-join."""
-    orphans = (
-        df.filter(F.col(column).isNotNull())
-        .join(ref_df.select(F.col(ref_column).alias(column)).distinct(),
-              on=column, how="left_anti")
-    )
-    n = orphans.count()
+    explicitly broadcast — its post-distinct size is opaque to the
+    auto-broadcast estimator, and a referential dimension is
+    dimension-sized by definition, so without the hint the anti-join can
+    degrade to a full shuffle of the fact side. NULL fact keys are
+    excluded (dbt relationships-test semantics; the reference's raw
+    left_anti would count them as orphans, but it pairs the check with
+    check_not_null on key columns)."""
+    n = _orphans(df, column, ref_df, ref_column).count()
     return CheckResult(
         check_name=f"relationships_{column}", table_name=table_name,
         column_name=column, passed=n == 0, failed_count=n, total_count=None,

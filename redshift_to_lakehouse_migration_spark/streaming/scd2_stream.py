@@ -41,9 +41,19 @@ def stream_scd2(spark: SparkSession, changes: DataFrame, dim_path: str,
                             as_of, order_col=order_col)
         tmp = dim_path.rstrip("/") + f"__b{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # swap with crash-restore (same discipline as compact_parquet):
+        # if the second move fails, restore the original so a dataset
+        # always exists at dim_path — otherwise the checkpointed replay
+        # of this batch would fail forever on a missing read path.
+        # Local-filesystem swap only (shutil); on object storage the
+        # equivalent is the Delta/Iceberg transactional commit.
         old = dim_path.rstrip("/") + "__old"
         shutil.move(dim_path, old)
-        shutil.move(tmp, dim_path)
+        try:
+            shutil.move(tmp, dim_path)
+        except BaseException:
+            shutil.move(old, dim_path)
+            raise
         shutil.rmtree(old)
 
     (changes.writeStream

@@ -32,26 +32,36 @@ def _update_user_stats(key: tuple, pdfs: Iterable[pd.DataFrame],
                        state: GroupState) -> Iterable[pd.DataFrame]:
     """Fold each micro-batch into (count, total, last_ts, max_gap) state.
 
-    Rows are sorted by ts inside the batch; the cross-batch boundary gap is
-    computed against the stored last timestamp — the piece no stateless
-    window can see.
+    The group's rows arrive as MULTIPLE Arrow chunks in arbitrary order
+    (chunking is by arrow.maxRecordsPerBatch, not by time), so the whole
+    micro-batch is concatenated and sorted ONCE before computing gaps —
+    a per-chunk sort would corrupt last_ts/max_gap whenever a group spans
+    chunks. Memory is one group's slice of one micro-batch (bounded by
+    trigger sizing, the standard applyInPandasWithState envelope).
+
+    The cross-batch boundary gap compares against the stored last
+    timestamp — the piece no stateless window can see; last_ts is kept
+    MONOTONE (a replayed/late batch older than stored state can neither
+    move it backwards nor mint a negative gap).
     """
     count, total, last_ts, max_gap = (
         state.get if state.exists else (0, 0.0, None, 0.0))
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        pdf = pdf.sort_values("ts")
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]).sort_values("ts")
         epochs = pdf["ts"].astype("int64") / 1e9
         gaps = epochs.diff()                       # intra-batch gaps
         if last_ts is not None:
             boundary = epochs.iloc[0] - last_ts    # cross-batch gap
-            max_gap = max(max_gap, boundary)
+            if boundary >= 0:                      # late replay: no gap
+                max_gap = max(max_gap, boundary)
         if len(gaps.dropna()):
             max_gap = max(max_gap, float(gaps.max()))
         count += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
-        last_ts = float(epochs.iloc[-1])
+        last_epoch = float(epochs.iloc[-1])
+        last_ts = last_epoch if last_ts is None else max(last_ts, last_epoch)
     state.update((count, total, last_ts, max_gap))
     yield pd.DataFrame({
         "user_id": [key[0]], "event_count": [count],

@@ -102,3 +102,49 @@ def test_zorder_layout_localizes_both_columns(spark, tmp_path):
     assert x["y"] > side * 0.9, x
     # and z-order's y-span beats the x-sorted layout's by a wide margin
     assert z["y"] < x["y"] / 2
+
+
+def test_partitioned_compaction_does_not_explode_files(spark, tmp_path):
+    """With partition_by, rows must be repartitioned ON the partition
+    columns: each partition value → one task → ONE file. (A plain
+    repartition(n) + partitionBy writes up to n×values files — an
+    explosion, not a compaction.) The return value is the real data-file
+    count."""
+    path = str(tmp_path / "part_frag")
+    orders = load(spark, SF, "orders").withColumn(
+        "status", F.col("o_orderstatus"))
+    orders.repartition(32).write.partitionBy("status").parquet(path)
+    n_values = orders.select("status").distinct().count()
+    before = len(spark.read.parquet(path).inputFiles())
+    assert before > n_values          # fragmented: many files per value
+
+    written = compact_parquet(spark, path, target_mb=256,
+                              partition_by=["status"])
+
+    after = spark.read.parquet(path)
+    n_after = len(after.inputFiles())
+    assert n_after == n_values        # exactly one file per partition value
+    assert written == n_after         # returned count is the real count
+    assert after.count() == orders.count()
+
+
+def test_zorder_preserves_locality_on_wide_domains(spark, tmp_path):
+    """Raw values above 2^bits must still drive the layout: two id
+    clusters a million apart land in DIFFERENT files after min-max
+    normalization (the unnormalized morton code discarded the high bits
+    and interleaved them into the same files)."""
+    from redshift_to_lakehouse_migration_spark.maintenance import (
+        write_zordered,
+    )
+    rows = [(i, i % 50) for i in range(200)] + \
+           [(1_000_000 + i, i % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "big_id long, small long")
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, "big_id", "small", n_files=4, bits=16)
+
+    out = spark.read.parquet(path).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    spans = out.groupBy("f").agg(
+        (F.max("big_id") - F.min("big_id")).alias("span"))
+    # every file covers ONE cluster (span < 200), never both (~1e6)
+    assert spans.filter(F.col("span") > 10_000).count() == 0

@@ -56,3 +56,20 @@ def test_masked_view_role_flag_passes_through(spark):
         "SELECT * FROM v_people_privileged").collect()}
     assert rows[1].name == "Alice Smith"
     assert rows[1].email == "alice.smith@example.com"
+
+
+def test_masked_view_leaves_no_raw_base_view(spark):
+    """The masked view must be the ONLY registration: an earlier
+    implementation staged the raw DataFrame as a discoverable
+    __{view}_base temp view (trivially bypassing the mask) which could
+    not even be dropped (temp views resolve lazily)."""
+    create_masked_view(spark, _people(spark), "v_leak_check",
+                       name_cols=("name",), email_cols=("email",))
+    views = [v.name for v in spark.catalog.listTables()
+             if v.tableType == "TEMPORARY" or v.isTemporary]
+    assert "v_leak_check" in views
+    assert not any("v_leak_check" in v and v != "v_leak_check"
+                   for v in views), views
+    # and the view itself is masked
+    r = spark.sql("SELECT name FROM v_leak_check WHERE id = 1").collect()[0]
+    assert r.name == "A" + "*" * (len("Alice Smith") - 1)

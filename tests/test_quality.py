@@ -98,3 +98,48 @@ def test_quarantine_no_row_checks(spark):
     df = spark.createDataFrame([("a",), ("a",)], "id string")
     clean, bad = quarantine(df, [unique("id")])
     assert clean.count() == 2 and bad.count() == 0
+
+
+def test_unique_counts_null_duplicates(spark):
+    """Reference parity (`check_unique`: df.count() − distinct().count()):
+    NULL is one distinct value, so duplicate NULLs ARE uniqueness
+    failures — a count(col)−countDistinct(col) form would skip them."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), ("K1",), ("K2",)], "k string")
+    r = q.run_checks(df, [q.unique("k")])[0]
+    assert not r.passed and r.failed_count == 2  # 3 NULLs → 2 duplicates
+    ok = q.run_checks(
+        spark.createDataFrame([("K1",), (None,)], "k string"),
+        [q.unique("k")])[0]
+    assert ok.passed and ok.failed_count == 0
+
+
+def test_composite_unique_no_encoding_collisions(spark):
+    """Struct-distinct semantics: a NULL field vs a literal sentinel
+    string, and separator bytes inside values, are DISTINCT keys (the
+    old string-encoded key collapsed both into false duplicates)."""
+    df = spark.createDataFrame(
+        [("a", None), ("a", "_null_"),          # NULL vs sentinel string
+         ("b\x1fc", "d"), ("b", "c\x1fd")],     # separator inside value
+        "c1 string, c2 string")
+    r = q.run_checks(df, [q.composite_unique(["c1", "c2"])])[0]
+    assert r.passed and r.failed_count == 0
+    dup = spark.createDataFrame(
+        [("a", None), ("a", None)], "c1 string, c2 string")
+    r2 = q.run_checks(dup, [q.composite_unique(["c1", "c2"])])[0]
+    assert not r2.passed and r2.failed_count == 1
+
+
+def test_relationships_ref_side_broadcast(spark):
+    """The anti-join must carry the explicit broadcast hint — without it
+    a post-distinct ref side can degrade to a full fact-side shuffle."""
+    child = spark.createDataFrame([("C1", "P1")],
+                                  "claim_id string, policy_id string")
+    parent = spark.createDataFrame([("P1",)], "policy_id string")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:  # -1 disables AUTO broadcast: only the explicit hint can produce it
+        orphans = q._orphans(child, "policy_id", parent, "policy_id")
+        plan = orphans._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

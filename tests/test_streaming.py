@@ -349,3 +349,48 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     # the 10:00 window emitted exactly once
     rows10 = [r for r in result if r.window_start.hour == 10]
     assert len(rows10) == 1
+
+
+def test_stateful_stats_survive_arrow_chunking(spark, tmp_path):
+    """One user's micro-batch rows arrive as MULTIPLE Arrow chunks in
+    arbitrary order (chunking is by arrow.maxRecordsPerBatch, not time):
+    the state fold must concat+sort the whole batch, not fold per chunk —
+    a per-chunk fold corrupts last_ts and max_gap whenever a group spans
+    chunks. Forced here with maxRecordsPerBatch=2 over a deliberately
+    shuffled single-user file."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from redshift_to_lakehouse_migration_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    rows = [(1, f"2024-01-01 00:{m:02d}:00", float(m)) for m in range(30)]
+    random.Random(7).shuffle(rows)   # arbitrary order inside the file
+    events = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    src = tmp_path / "chunked_stream"
+    events.coalesce(1).write.parquet(str(src / "b1"))
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = (running_user_stats(stream)
+             .writeStream.format("memory").queryName("chunked_state")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt_chunked"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    got = spark.sql("""
+        SELECT event_count, total_value, max_gap_seconds
+        FROM chunked_state ORDER BY event_count DESC LIMIT 1""").collect()[0]
+    assert got.event_count == 30
+    assert abs(got.total_value - sum(range(30))) < 1e-6
+    assert abs(got.max_gap_seconds - 60.0) < 1e-6   # uniform 1-min spacing
