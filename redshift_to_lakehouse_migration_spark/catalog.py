@@ -160,21 +160,29 @@ def verify_layer(spark: SparkSession, layer: str) -> dict[str, object]:
     callers (pipelines, tests) compose it."""
     test_table = f"{quote_ident(layer)}._smoke_test"
     out: dict[str, object] = {"layer": layer}
-    spark.sql(f"USE SCHEMA {quote_ident(layer)}")
-    out["schema_accessible"] = True
-    df = spark.createDataFrame(
-        [("smoke_test_1", 42, "2024-01-01T00:00:00")],
-        "test_id string, test_value int, test_timestamp string")
-    df.write.format("parquet").mode("overwrite").saveAsTable(test_table)
-    n = spark.read.table(test_table).count()
-    out["roundtrip_rows"] = n
-    out["write_read_ok"] = n == 1
-    spark.sql(f"DROP TABLE IF EXISTS {test_table}")
-    out["tables"] = [r.tableName
-                     for r in spark.sql(
-                         f"SHOW TABLES IN {quote_ident(layer)}").collect()
-                     if not r.tableName.startswith("_")]
-    spark.sql("USE SCHEMA default")
+    # Restore the CALLER's schema (not a hard-coded default) and drop the
+    # smoke table even when a step throws — otherwise a failed check
+    # leaves the session parked on the layer schema with the test table
+    # leaked, and a successful one silently moved the session to default.
+    prev_schema = spark.catalog.currentDatabase()
+    try:
+        spark.sql(f"USE SCHEMA {quote_ident(layer)}")
+        out["schema_accessible"] = True
+        df = spark.createDataFrame(
+            [("smoke_test_1", 42, "2024-01-01T00:00:00")],
+            "test_id string, test_value int, test_timestamp string")
+        df.write.format("parquet").mode("overwrite").saveAsTable(test_table)
+        n = spark.read.table(test_table).count()
+        out["roundtrip_rows"] = n
+        out["write_read_ok"] = n == 1
+        out["tables"] = [r.tableName
+                         for r in spark.sql(
+                             f"SHOW TABLES IN {quote_ident(layer)}")
+                         .collect()
+                         if not r.tableName.startswith("_")]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {test_table}")
+        spark.sql(f"USE SCHEMA {quote_ident(prev_schema)}")
     return out
 
 

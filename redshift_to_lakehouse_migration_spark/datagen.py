@@ -149,15 +149,23 @@ def generate(out_dir: str, n_policies: int = 200, seed: int = 42,
         policies[0]["status"] = " active "
         policies[1]["coverage_type_code"] = "ho5"
         policies.append({**policies[2], "policy_id": ""})
-        claims.append({**claims[0], "claim_id": "CLM-ORPHAN",
-                       "policy_id": "POL-9999999"})
+        if claims:  # claims are probabilistic (~15%/policy): a tiny run
+            claims.append({**claims[0], "claim_id": "CLM-ORPHAN",
+                           "policy_id": "POL-9999999"})
 
     counts = {}
+    # header fallback from the read-side schemas: claims are probabilistic
+    # (~15%/policy), so a tiny run can legitimately produce ZERO claim
+    # rows — the CSV still needs its header for schema-on-read
+    headers = {"policies": S.RAW_POLICIES, "properties": S.RAW_PROPERTIES,
+               "claims": S.RAW_CLAIMS, "premiums": S.RAW_PREMIUMS}
     for name, rows in [("policies", policies), ("properties", properties),
                        ("claims", claims), ("premiums", premiums)]:
         path = out / f"raw_{name}.csv"
+        fields = (list(rows[0].keys()) if rows
+                  else headers[name].fieldNames())
         with open(path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w = csv.DictWriter(f, fieldnames=fields)
             w.writeheader()
             w.writerows(rows)
         counts[name] = len(rows)

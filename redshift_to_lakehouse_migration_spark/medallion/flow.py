@@ -12,7 +12,9 @@ from __future__ import annotations
 
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .. import schemas as S
 from ..pipeline import Pipeline
@@ -33,8 +35,18 @@ def build_medallion_pipeline(spark: SparkSession, raw_dir: str | Path,
     def bronze_node(table: str, schema):
         def fn(s):
             path = str(warehouse / f"bronze_{table}")
+            # Append-only bronze: a re-run against an existing warehouse
+            # must get a NEW batch id (max+1), or the appended duplicates
+            # would be indistinguishable from the first batch and
+            # impossible to roll back. First run stays deterministic (1).
+            try:
+                prev = s.read.parquet(path) \
+                    .agg(F.max("_batch_id")).collect()[0][0]
+                next_id = int(prev) + 1 if prev is not None else 1
+            except AnalysisException:
+                next_id = 1
             bronze.ingest_batch(s, str(raw_dir / f"raw_{table}.csv"),
-                                schema, path, batch_id=1)
+                                schema, path, batch_id=next_id)
             return s.read.parquet(path)
         return fn
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     calendar_columns,
     count_if,
+    lookup_case,
     norm_str,
     sum_if,
     surrogate_key,
@@ -137,15 +138,11 @@ def build_dim_property(properties: DataFrame, as_of: str) -> DataFrame:
 
 
 def build_dim_coverage(policies: DataFrame) -> DataFrame:
-    """`dim_coverage.sql:5-41`: DISTINCT codes + two simple-CASE lookups."""
-    name_expr = F.lit("Unknown Coverage")
-    cat_expr = F.lit("OTHER")
-    for code, name in reversed(list(COVERAGE_NAMES.items())):
-        name_expr = F.when(F.col("coverage_type_code") == code,
-                           name).otherwise(name_expr)
-    for code, cat in reversed(list(COVERAGE_CATEGORY.items())):
-        cat_expr = F.when(F.col("coverage_type_code") == code,
-                          cat).otherwise(cat_expr)
+    """`dim_coverage.sql:5-41`: DISTINCT codes + two simple-CASE lookups
+    (the shared :func:`functions.lookup_case` builder)."""
+    name_expr = lookup_case("coverage_type_code", COVERAGE_NAMES,
+                            "Unknown Coverage")
+    cat_expr = lookup_case("coverage_type_code", COVERAGE_CATEGORY, "OTHER")
     return (
         policies.select(norm_str("coverage_type_code")
                         .alias("coverage_type_code"))
@@ -162,10 +159,12 @@ def build_dim_coverage(policies: DataFrame) -> DataFrame:
 def build_dim_date(spark: SparkSession, start: str = "2020-01-01",
                    end: str = "2030-12-31") -> DataFrame:
     """`dim_date.sql:5-43`: spine + calendar + season flags (the reference's
-    2020→2030 range by default)."""
-    spine = spark.sql(
-        f"SELECT explode(sequence(to_date('{start}'), to_date('{end}'), "
-        "interval 1 day)) AS date_key")
+    2020→2030 range by default). Built from column expressions — no SQL
+    string interpolation, so caller-supplied bounds need no quoting."""
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit(start).cast("date"),
+                             F.lit(end).cast("date"),
+                             F.expr("interval 1 day"))).alias("date_key"))
     cal = calendar_columns("date_key")
     return spine.select(
         surrogate_key("date_key").alias("date_sk"),
@@ -184,7 +183,12 @@ def build_fact_claims(claims: DataFrame, policies: DataFrame,
                         "agent_id")
     pr = properties.select("property_id", "state", "county",
                            "construction_type", "flood_zone")
-    capped = F.least(F.col("approved_amount"), F.col("coverage_limit"))
+    # Reference semantics exactly (`fact_claims.py:55-56`): the cap applies
+    # to CLAIM amount vs coverage limit; the payout is raw approved −
+    # deductible, so a NULL approved_amount yields a NULL payout (not a
+    # coverage-limit-sized one — F.least skips NULLs, so capping approved
+    # would turn an unadjudicated claim into a max-payout row).
+    capped = F.least(F.col("claim_amount"), F.col("coverage_limit"))
     premium_guard = F.when(F.col("annual_premium") == 0, None) \
                      .otherwise(F.col("annual_premium"))
     return (
@@ -198,9 +202,10 @@ def build_fact_claims(claims: DataFrame, policies: DataFrame,
             "coverage_type_code", "agent_id",
             "claim_date", "reported_date", "closed_date",
             "claim_type", "claim_status", "cause_of_loss",
-            "claim_amount",
-            capped.alias("approved_amount_capped"),
-            (capped - F.col("deductible_applied")).alias("net_claim_payout"),
+            "claim_amount", "approved_amount", "deductible_applied",
+            capped.alias("capped_claim_amount"),
+            (F.col("approved_amount") - F.col("deductible_applied"))
+                .alias("net_claim_payout"),
             (F.col("claim_amount") / premium_guard)
                 .alias("claim_to_premium_ratio"),
             F.datediff("reported_date", "claim_date")

@@ -87,6 +87,14 @@ class Pipeline:
         on nodes that execute jobs (materialize/count), so the default
         stays serial.
         """
+        # Validate dependency names up front: an undeclared dep would
+        # otherwise surface as a bare KeyError from the sorter's implicit
+        # node (TopologicalSorter auto-creates nodes for unknown deps).
+        unknown = sorted(
+            {d for n in self._nodes.values() for d in n.deps}
+            - set(self._nodes))
+        if unknown:
+            raise ValueError(f"undeclared dependency node(s): {unknown}")
         if max_workers <= 1:
             order = TopologicalSorter(
                 {n.name: set(n.deps) for n in self._nodes.values()})

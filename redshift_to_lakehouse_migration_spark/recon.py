@@ -87,8 +87,11 @@ def compare_distributions(legacy: DataFrame, target: DataFrame,
         F.count("*").alias("n_legacy"))
     th = target.groupBy(F.col(column).alias("v")).agg(
         F.count("*").alias("n_target"))
+    # eqNullSafe: NULL is a real histogram bucket (silver deliberately
+    # nullifies some columns) — a plain equality join would leave the two
+    # NULL buckets unmatched and report matching data as 2 mismatches.
     diff = (
-        lh.join(th, "v", "full_outer")
+        lh.join(th, lh["v"].eqNullSafe(th["v"]), "full_outer")
         .filter(F.coalesce("n_legacy", F.lit(-1))
                 != F.coalesce("n_target", F.lit(-1)))
     )

@@ -23,8 +23,9 @@ addNewColumns produces). Exercised end-to-end in
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..medallion.bronze import add_metadata_columns
 
 
 def ingest_stream(spark: SparkSession, source_dir: str,
@@ -41,10 +42,13 @@ def ingest_stream(spark: SparkSession, source_dir: str,
     if fmt == "csv":
         reader = reader.option("header", "true")
     src = getattr(reader, fmt)(source_dir)
-    with_meta = (
-        src.withColumn("_ingestion_timestamp", F.current_timestamp())
-        .withColumn("_source_file", F.input_file_name())
-    )
+    # The SAME lineage builder as the batch path (bronze.add_metadata_
+    # columns) — a hand-rolled subset here once omitted _batch_id, giving
+    # stream- and batch-fed targets split schemas. In streaming,
+    # current_timestamp() is pinned per micro-batch, so the epoch-derived
+    # _batch_id is constant within a micro-batch — the streaming analog of
+    # the batch path's default.
+    with_meta = add_metadata_columns(src)
     q = (
         with_meta.writeStream
         .format("parquet")

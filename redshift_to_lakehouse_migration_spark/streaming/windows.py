@@ -2,7 +2,9 @@
 reference, which has ingestion-only streaming — SURVEY §2.9 note).
 
 These share expression logic with the batch twins in
-``queries/events.py``; under streaming they add watermarks for state
+``queries/events.py`` — including `dsum` for the value sums, so the
+stream and batch forms agree bit-for-bit under any partial-aggregate
+ordering (a plain double `F.sum` would drift in low-order bits); under streaming they add watermarks for state
 eviction (late data beyond the watermark is dropped, state is bounded —
 the property that keeps a 100 TB/day stream's state finite).
 """
@@ -11,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import dsum
 
 
 def hourly_event_counts(events: DataFrame,
@@ -21,7 +25,7 @@ def hourly_event_counts(events: DataFrame,
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("event_count"),
-             F.sum("value").alias("total_value"))
+             dsum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"),
                 "event_type", "event_count", "total_value")
@@ -37,7 +41,7 @@ def sliding_value_sums(events: DataFrame, watermark: str = "2 hours"
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
                  F.col("event_type"))
         .agg(F.count("*").alias("event_count"),
-             F.sum("value").alias("total_value"))
+             dsum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"),
                 "event_type", "event_count", "total_value")
@@ -52,7 +56,7 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes",
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
         .agg(F.count("*").alias("event_count"),
-             F.sum("value").alias("session_value"))
+             dsum("value").alias("session_value"))
         .select("user_id",
                 F.col("s.start").alias("session_start"),
                 F.col("s.end").alias("session_end"),

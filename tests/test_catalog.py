@@ -103,3 +103,16 @@ def test_quote_ident_parts():
     assert C.quote_ident("we`ird") == "`we``ird`"
     assert C.quote_literal("it's a 'test'") == "it''s a ''test''"
     assert C.quote_literal("a\\b") == "a\\\\b"
+
+
+def test_verify_layer_restores_caller_schema(lakehouse):
+    """The smoke check must put the session back on the CALLER's current
+    schema (an earlier version hard-switched to default on success and
+    left the session on the layer schema on failure)."""
+    spark = lakehouse
+    spark.sql("USE SCHEMA gold")
+    try:
+        C.verify_layer(spark, "bronze")
+        assert spark.catalog.currentDatabase() == "gold"
+    finally:
+        spark.sql("USE SCHEMA default")

@@ -160,3 +160,92 @@ def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
     q = read_jsonl(spark, str(bad), schema).cache()
     assert q.filter("_corrupt_record IS NOT NULL").count() == 1
     assert q.filter("_corrupt_record IS NULL").count() == 1
+
+
+def test_pipeline_rejects_undeclared_dep(spark):
+    """An undeclared dep name must raise the intended ValueError, not a
+    bare KeyError from the sorter's implicitly-created node."""
+    import pytest
+
+    from redshift_to_lakehouse_migration_spark.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    p.add("a", lambda s, typo: typo, deps=["typo"])
+    with pytest.raises(ValueError, match="undeclared dependency"):
+        p.run()
+    with pytest.raises(ValueError, match="undeclared dependency"):
+        p.run(max_workers=4)
+
+
+def test_datagen_tiny_run_with_no_claims(tmp_path):
+    """Claims are probabilistic (~15%/policy): a tiny dirty run that
+    rolls zero claims must still write a header-only claims CSV instead
+    of crashing."""
+    from redshift_to_lakehouse_migration_spark.datagen import generate
+
+    for seed in range(60):  # find a seed that generates zero claims
+        out = tmp_path / f"g{seed}"
+        counts = generate(str(out), n_policies=3, seed=seed, dirty=True)
+        header = (out / "raw_claims.csv").read_text().splitlines()[0]
+        assert "claim_id" in header
+        if counts["claims"] == 0:
+            break
+    else:
+        raise AssertionError("no zero-claim seed in 60 tries — "
+                             "probability model changed?")
+
+
+def test_bronze_rerun_gets_fresh_batch_id(spark, tmp_path):
+    """Re-running the DAG against an existing warehouse appends a NEW
+    _batch_id (max+1) — duplicates stay identifiable and rollbackable."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_lakehouse_migration_spark.datagen import generate
+    from redshift_to_lakehouse_migration_spark.medallion.flow import (
+        build_medallion_pipeline,
+    )
+
+    raw = tmp_path / "raw"
+    generate(str(raw), n_policies=20, seed=3, dirty=False)
+    wh = tmp_path / "wh"
+    build_medallion_pipeline(spark, str(raw), str(wh), "2024-06-01").run()
+    build_medallion_pipeline(spark, str(raw), str(wh), "2024-06-01").run()
+    ids = [r[0] for r in spark.read.parquet(str(wh / "bronze_policies"))
+           .select("_batch_id").distinct().orderBy("_batch_id").collect()]
+    assert ids == [1, 2]
+
+
+def test_fact_claims_null_approved_amount_reference_semantics(spark):
+    """Reference parity (`fact_claims.py:55-56`): the cap applies to
+    CLAIM amount; a NULL approved_amount yields a NULL payout — never a
+    coverage-limit-sized one (F.least skips NULLs, so capping approved
+    would pay out the limit on an unadjudicated claim)."""
+    from redshift_to_lakehouse_migration_spark.medallion.gold import (
+        build_fact_claims,
+    )
+
+    claims = spark.createDataFrame(
+        [("C1", "P1", None, 1000.0, 100.0),
+         ("C2", "P1", 900000.0, 900000.0, 100.0)],
+        "claim_id string, policy_id string, approved_amount double, "
+        "claim_amount double, deductible_applied double") \
+        .selectExpr("*", "date'2024-01-01' claim_date",
+                    "date'2024-01-02' reported_date",
+                    "cast(null as date) closed_date",
+                    "'WIND' claim_type", "'OPEN' claim_status",
+                    "'STORM' cause_of_loss")
+    policies = spark.createDataFrame(
+        [("P1", "PR1", "HO3", 1200.0, 500.0, 500000.0, "AG1")],
+        "policy_id string, property_id string, coverage_type_code string, "
+        "annual_premium double, deductible double, coverage_limit double, "
+        "agent_id string")
+    props = spark.createDataFrame(
+        [("PR1", "FL", "Dade", "FRAME", "AE")],
+        "property_id string, state string, county string, "
+        "construction_type string, flood_zone string")
+    rows = {r.claim_id: r
+            for r in build_fact_claims(claims, policies, props).collect()}
+    assert rows["C1"].net_claim_payout is None          # NULL stays NULL
+    assert rows["C1"].capped_claim_amount == 1000.0     # claim < limit
+    assert rows["C2"].capped_claim_amount == 500000.0   # capped at limit
+    assert rows["C2"].net_claim_payout == 900000.0 - 100.0

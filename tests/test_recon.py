@@ -39,3 +39,21 @@ def test_distributions_and_full_suite(spark):
     legacy2, target2 = _pair(spark)
     results = recon.reconcile(legacy2, target2, distribution_columns=["k"])
     assert all(r.passed for r in results)
+
+
+def test_distribution_null_bucket_matches(spark):
+    """NULL is a real histogram bucket (silver nullifies some columns):
+    identical NULL counts on both sides must reconcile — the null-unsafe
+    join form reported them as 2 mismatched buckets."""
+    from redshift_to_lakehouse_migration_spark.recon import (
+        compare_distributions,
+    )
+    legacy = spark.createDataFrame(
+        [("A",), ("A",), (None,), (None,), (None,)], "status string")
+    target = spark.createDataFrame(
+        [("A",), ("A",), (None,), (None,), (None,)], "status string")
+    r = compare_distributions(legacy, target, "status")
+    assert r.passed, r.details
+    # and a genuinely different NULL count still fails
+    worse = spark.createDataFrame([("A",), ("A",), (None,)], "status string")
+    assert not compare_distributions(legacy, worse, "status").passed

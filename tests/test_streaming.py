@@ -394,3 +394,32 @@ def test_stateful_stats_survive_arrow_chunking(spark, tmp_path):
     assert got.event_count == 30
     assert abs(got.total_value - sum(range(30))) < 1e-6
     assert abs(got.max_gap_seconds - 60.0) < 1e-6   # uniform 1-min spacing
+
+
+def test_ingest_stream_writes_full_lineage_columns(spark, tmp_path):
+    """The stream path must emit the SAME metadata columns as the batch
+    path (bronze.add_metadata_columns) — an earlier hand-rolled subset
+    omitted _batch_id, splitting the schema of mixed batch/stream
+    targets."""
+    import csv
+
+    from redshift_to_lakehouse_migration_spark.streaming.ingest import (
+        ingest_stream, read_ingested,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    with open(src / "f1.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "v"])
+        w.writerow(["1", "10"])
+    schema = "id INT, v INT"
+    from pyspark.sql import types as T
+    st = T.StructType([T.StructField("id", T.IntegerType()),
+                       T.StructField("v", T.IntegerType())])
+    ingest_stream(spark, str(src), st, str(tmp_path / "target"),
+                  str(tmp_path / "ckpt"))
+    out = read_ingested(spark, str(tmp_path / "target"))
+    assert {"_ingestion_timestamp", "_source_file", "_batch_id"} \
+        <= set(out.columns)
+    assert out.filter("_batch_id IS NULL").count() == 0
