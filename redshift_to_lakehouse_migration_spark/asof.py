@@ -34,13 +34,14 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, by: list[str],
               ts_col: str, direction: str = "backward",
-              tolerance: Column | None = None,
+              tolerance: Column | float | None = None,
               tie_break: str | None = None,
               prefix: str = "asof_") -> DataFrame:
     """Point-in-time join; right columns (except ``by``) come back
-    ``prefix``-renamed. ``tolerance`` (a Column interval/double matching
-    the ts type's difference semantics) null-outs matches older/newer
-    than the bound."""
+    ``prefix``-renamed. ``tolerance`` is a bound in SECONDS (a numeric
+    literal or numeric Column — the match age is computed as a double of
+    epoch seconds, so an INTERVAL column is not accepted); matches
+    older/newer than the bound null out."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
 

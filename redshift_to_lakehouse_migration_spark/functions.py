@@ -124,12 +124,18 @@ def dsum(col: str | Column, scale: int = 2, precision: int = 24) -> Column:
 
 
 def davg(col: str | Column, scale: int = 2, precision: int = 24) -> Column:
-    """Order-independent mean: exact decimal SUM (as double) / COUNT."""
+    """Order-independent mean: exact decimal SUM (as double) / COUNT.
+
+    The denominator counts the CAST column, not the raw one: non-finite
+    doubles cast to NULL (the policy pinned in
+    `test_dsum_corrupt_input_policy`) and drop out of the numerator, so
+    counting raw non-null values would bias the mean low whenever a
+    NaN/Inf slips in. On finite data the two counts are identical (the
+    DuckDB oracle twin keeps COUNT(col): it errors loudly on a
+    non-finite cast before any comparison)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
-        / F.count(c)
-    )
+    dec = c.cast(f"decimal({precision},{scale})")
+    return F.sum(dec).cast("double") / F.count(dec)
 
 
 def d2d_sql(decimal_expr: str) -> str:

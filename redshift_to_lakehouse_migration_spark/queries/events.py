@@ -360,7 +360,9 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = time_rollup(
         e.withColumn("__dec_value", F.col("value").cast("decimal(24,2)")),
         "ts", "hour", ["event_type"], spec)
-    daily = finalize(reroll(hourly, "day", ["event_type"], spec), spec)
+    daily = finalize(
+        reroll(hourly, "day", ["event_type"], spec, from_grain="hour"),
+        spec)
     # avg finalized in double (dsum/count) to match the davg convention
     return daily.select(
         F.col("bucket_ts").alias("day"),

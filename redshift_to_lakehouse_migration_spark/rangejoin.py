@@ -30,10 +30,15 @@ def range_join_binned(left: DataFrame, right: DataFrame, by: list[str],
     """Inner range join: ``right_ts - left_ts ∈ (lower, upper]`` seconds
     (lower exclusive, upper inclusive), equal ``by`` keys. Both ts columns
     must be timestamps; all arithmetic runs in integer microseconds."""
-    if not upper > lower:
-        raise ValueError(f"need upper > lower, got ({lower}, {upper}]")
     lower_us = int(round(lower * 1_000_000))
     upper_us = int(round(upper * 1_000_000))
+    # guard on the ROUNDED microsecond bounds: a sub-microsecond window
+    # (e.g. upper=4e-7) passes a float upper > lower check but rounds to
+    # zero width, and the bucket division below would divide by zero
+    if not upper_us > lower_us:
+        raise ValueError(
+            f"need upper > lower by at least 1 microsecond, got "
+            f"({lower}, {upper}] = ({lower_us}us, {upper_us}us]")
     w = upper_us - lower_us
 
     r = right.withColumn("__r_us", F.unix_micros(F.col(right_ts)))

@@ -55,12 +55,32 @@ def time_rollup(df: DataFrame, ts_col: str, grain: str,
 
 
 def reroll(partials: DataFrame, grain: str, keys: list[str],
-           aggs: AggSpec) -> DataFrame:
+           aggs: AggSpec, from_grain: str | None = None) -> DataFrame:
     """Partials at a finer grain → partials at coarser ``grain``. Never
     touches raw data; input and output schemas are identical, so rollups
-    chain (hour → day → month)."""
+    chain (hour → day → month).
+
+    Pass ``from_grain`` (the partials' grain) to validate the path:
+    the target must be strictly coarser, and every source bucket must
+    nest wholly inside one target bucket — ``week`` partials do NOT
+    re-roll to month/quarter/year (a week straddles their boundaries;
+    date_trunc would silently credit the whole straddling week to the
+    earlier bucket). Without ``from_grain`` the caller asserts the path
+    is valid."""
     if grain not in _GRAINS:
         raise ValueError(f"grain must be one of {_GRAINS}: {grain}")
+    if from_grain is not None:
+        if from_grain not in _GRAINS:
+            raise ValueError(
+                f"from_grain must be one of {_GRAINS}: {from_grain}")
+        if _GRAINS.index(grain) <= _GRAINS.index(from_grain):
+            raise ValueError(
+                f"target grain {grain!r} is not coarser than {from_grain!r}")
+        if from_grain == "week":
+            raise ValueError(
+                "week partials do not nest into coarser calendar grains "
+                "(a week straddles month/quarter/year boundaries) — "
+                "re-roll from day or finer instead")
     _check(aggs)
     cols: list[Column] = []
     for name, (_, fn) in aggs.items():

@@ -15,9 +15,11 @@ changed, insert the new version). This module provides:
   with window functions (the standard Spark expression the reference lacks,
   SURVEY §2.5).
 
-Correctness beyond the reference (SURVEY §7.3 risk 4): updates are deduped
-to the latest row per key (by ``order_col``) before merging, so a batch
-containing several updates for one key cannot produce overlapping versions.
+Correctness beyond the reference (SURVEY §7.3 risk 4): when ``order_col``
+is provided, updates are deduped to the latest row per key before merging,
+so a batch containing several updates for one key cannot produce
+overlapping versions. ``order_col=None`` is the caller's assertion that
+the batch is already ≤1 row per key (see :func:`scd2_merge`).
 The reference hardcodes ``current_date()``; we take ``as_of`` as a parameter
 so runs are reproducible.
 
@@ -74,9 +76,27 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
 
     Returns the full new dimension table:
     history ∪ still-current-unchanged ∪ closed-old ∪ new-versions ∪ brand-new.
+
+    ``order_col=None`` asserts the CALLER guarantees at most one update
+    row per key (e.g. a pre-deduped CDC feed); with several undeduped
+    updates for one key and no order column there is no defined "latest"
+    and the merge would insert overlapping current versions — pass
+    ``order_col`` whenever the batch can carry multiple updates per key.
+
+    Every key routing join is NULL-SAFE (eqNullSafe), matching the
+    change-detection join: a NULL-valued business key is a real key value
+    here, not a non-match — plain equality would leave its old row open
+    forever while re-inserting a second current row.
     """
     payload_cols = [c for c in dim.columns if c not in (START, END, CURRENT)]
     upd = _latest_per_key(updates, key_cols, order_col).select(payload_cols)
+
+    def route(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+        """Null-safe semi/anti join on the business key."""
+        cond = reduce(
+            lambda a, b: a & b,
+            [left[k].eqNullSafe(right[k]) for k in key_cols])
+        return left.join(right, cond, how)
 
     history = dim.filter(~F.col(CURRENT))
     current = dim.filter(F.col(CURRENT))
@@ -94,15 +114,15 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
     )
 
     closed = (
-        current.join(changed_keys, key_cols, "left_semi")
+        route(current, changed_keys, "left_semi")
         .withColumn(END, F.lit(as_of).cast("date"))
         .withColumn(CURRENT, F.lit(False))
     )
-    unchanged = current.join(changed_keys, key_cols, "left_anti")
+    unchanged = route(current, changed_keys, "left_anti")
 
-    new_versions = upd.join(changed_keys, key_cols, "left_semi")
+    new_versions = route(upd, changed_keys, "left_semi")
     current_keys = current.select(*key_cols)
-    brand_new = upd.join(current_keys, key_cols, "left_anti")
+    brand_new = route(upd, current_keys, "left_anti")
     inserts = init_scd2(new_versions.unionByName(brand_new), as_of)
 
     return (

@@ -83,6 +83,11 @@ def load_jdbc(spark: SparkSession, url: str, table: str,
     reader = (spark.read.format("jdbc")
               .option("url", url).option("dbtable", table))
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC source as the literal "None"
+            # and die in a JVM NumberFormatException — fail clearly here
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound")
         reader = (reader
                   .option("partitionColumn", partition_column)
                   .option("numPartitions", str(num_partitions))

@@ -139,3 +139,14 @@ def test_get_spark_sets_driver_memory(spark):
                    / 2 ** 30)
         assert max_gib > 4, \
             f"JVM max heap {max_gib:.1f} GiB — launch conf lost"
+
+
+def test_davg_denominator_matches_nan_exclusion(spark):
+    """davg's numerator excludes non-finite values (decimal cast → NULL,
+    the pinned corrupt-input policy); the denominator must exclude the
+    SAME rows — counting raw non-nulls biased the mean low."""
+    df = spark.createDataFrame(
+        [(1.0,), (3.0,), (float("nan"),)], "v double")
+    from redshift_to_lakehouse_migration_spark.functions import davg
+    got = df.agg(davg("v").alias("m")).collect()[0].m
+    assert got == 2.0   # (1+3)/2, NOT (1+3)/3

@@ -61,3 +61,16 @@ def test_jdbc_pushdown_filter(spark, derby_table):
         .executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan
     assert df.filter(F.col("id") >= 30).count() == 10
+
+
+def test_partition_column_requires_bounds(spark):
+    """partition_column without bounds must fail with a clear Python
+    ValueError — str(None) used to reach the JVM as the literal \"None\"
+    and die in a NumberFormatException."""
+    import pytest
+
+    from redshift_to_lakehouse_migration_spark.tables import load_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        load_jdbc(spark, "jdbc:derby:memory:nope", "t",
+                  partition_column="id")

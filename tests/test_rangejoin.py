@@ -54,3 +54,19 @@ def test_rejects_empty_interval(spark, pair):
     left, right = pair
     with pytest.raises(ValueError, match="upper > lower"):
         range_join_binned(left, right, ["u"], "lts", "rts", 60.0, 60.0)
+
+
+def test_submicrosecond_window_rejected(spark):
+    """A window that rounds to zero microseconds must raise, not divide
+    by zero into silent empty output."""
+    import pytest
+
+    from redshift_to_lakehouse_migration_spark.rangejoin import (
+        range_join_binned,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00")], "k string, ts string") \
+        .selectExpr("k", "cast(ts as timestamp) ts")
+    with pytest.raises(ValueError, match="at least 1 microsecond"):
+        range_join_binned(df, df, ["k"], "ts", "ts", 0.0, 4e-7)

@@ -58,3 +58,25 @@ def test_partials_are_small(spark, raw):
     daily = reroll(hourly, "day", ["k"], SPEC)
     n_raw, n_hour, n_day = raw.count(), hourly.count(), daily.count()
     assert n_hour < n_raw and n_day <= n_hour
+
+
+def test_reroll_rejects_misaligned_grain_paths(spark):
+    """from_grain validation: week partials straddle month/quarter/year
+    boundaries (silent misattribution), and a coarse→fine path is not a
+    re-roll at all."""
+    import pytest
+
+    from redshift_to_lakehouse_migration_spark.rollup import reroll
+
+    partials = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 1)],
+        "bucket_ts string, k string, n long") \
+        .selectExpr("cast(bucket_ts as timestamp) bucket_ts", "k", "n")
+    spec = {"n": ("n", "sum")}
+    with pytest.raises(ValueError, match="week partials do not nest"):
+        reroll(partials, "month", ["k"], spec, from_grain="week")
+    with pytest.raises(ValueError, match="not coarser"):
+        reroll(partials, "hour", ["k"], spec, from_grain="day")
+    # valid nested path still works
+    assert reroll(partials, "day", ["k"], spec,
+                  from_grain="hour").count() == 1

@@ -74,3 +74,32 @@ def test_scd2_from_history(spark):
     assert str(p1["A"].effective_end_date) == "2024-02-01"
     assert not p1["A"].is_current
     assert p1["B"].is_current and p1["B"].effective_end_date is None
+
+
+def test_scd2_merge_null_business_key_closes_and_versions(spark):
+    """NULL-valued business keys are real key values: the change-detection
+    join was already null-safe, but the routing semi/anti joins were not —
+    a changed NULL-key row used to stay current forever while a second
+    current row was inserted."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_lakehouse_migration_spark.scd2 import (
+        init_scd2, scd2_merge,
+    )
+
+    dim = init_scd2(spark.createDataFrame(
+        [(None, "OLD"), ("K1", "A")], "k string, v string"), "2024-01-01")
+    updates = spark.createDataFrame([(None, "NEW")], "k string, v string")
+    out = scd2_merge(dim, updates, ["k"], ["v"], "2024-06-01").cache()
+
+    null_rows = out.filter(F.col("k").isNull()).orderBy("is_current")
+    got = [(r.v, r.is_current, str(r.effective_end_date))
+           for r in null_rows.collect()]
+    assert got == [("OLD", False, "2024-06-01"),
+                   ("NEW", True, "None")]
+    # exactly ONE current row per key (incl. the NULL key)
+    per_key = (out.filter("is_current")
+               .groupBy("k").count().filter("count > 1").count())
+    assert per_key == 0
+    # untouched key passes through
+    assert out.filter("k = 'K1' AND is_current").count() == 1
