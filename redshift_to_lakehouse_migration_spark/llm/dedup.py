@@ -40,7 +40,16 @@ DEFAULT_SHINGLE_DF_CAP = 1024
 
 
 def norm_text(text: str | Column) -> Column:
-    """Whitespace-collapse + lowercase + trim (the dedup normalizer).
+    """Lowercase + whitespace-collapse + trim LAST (the dedup normalizer).
+
+    The trim runs AFTER the collapse: Spark's (and DuckDB's) ``trim``
+    strips only ASCII spaces, so trimming first left a trailing
+    newline/tab behind as a trailing space — "hello world" and
+    "hello world\\n" got different content hashes, silently defeating
+    exact dedup and prefix-block assignment for the most common text
+    variation there is. Collapsing first turns every edge run into a
+    space that the trim then removes; the DuckDB oracle twin mirrors
+    the same order.
 
     Cross-engine parity envelope (pinned in tests/test_text_parity.py):
     identical to the DuckDB oracle twin for text whose separators are
@@ -49,7 +58,19 @@ def norm_text(text: str | Column) -> Column:
     Java ``\\s`` includes \\x0B where RE2's does not, and Java lowercases
     İ (U+0130) to i+combining-dot where utf8proc yields plain i."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def ws_token_count(text: str | Column) -> Column:
+    """Whitespace token count with trim-last semantics (see
+    :func:`norm_text` — no case change): collapse runs to single spaces,
+    trim, split on the single space. Counting ``split(trim(x), '\\s+')``
+    instead would hand a phantom empty token to any doc with a trailing
+    newline. Empty/whitespace-only text counts 1 (``split('') = ['']``)
+    identically in both engines; callers exclude it with their emptiness
+    filters."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " "))
 
 
 def shingles(docs: DataFrame, id_col: str, norm_col: str,
@@ -381,7 +402,10 @@ def _lsh_candidate_verify(sh: DataFrame, bands: DataFrame, threshold: float,
                 F.coalesce("shared", F.lit(0)).alias("shared_shingles"),
                 F.coalesce(jac, F.lit(0.0)).alias("jaccard"))
         .filter(F.coalesce(jac, F.lit(0.0)) >= threshold)
-        .orderBy("doc_id_1", "doc_id_2")
+        # no orderBy here: this is the scale path, and a corpus-wide sort
+        # of the pair set exists only for presentation — downstream
+        # consumers (components, keeper filters) re-shuffle by key anyway;
+        # the driver-facing query wrappers sort for deterministic output
     )
 
 
@@ -488,21 +512,35 @@ def simhash_signatures(docs: DataFrame, id_col: str,
 
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
                        bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
-    """Hamming-near pairs via banded equality join: any shared 15-bit band
-    → candidate; bit_count(xor) filter verifies. With 4 bands, any pair
-    within hamming distance 3 shares ≥1 band (pigeonhole) — full recall
-    for buckets within ``bucket_cap``; oversized buckets (mass-duplicated
+    """Hamming-near pairs via banded equality join: any shared band →
+    candidate; bit_count(xor) filter verifies. The band count is DERIVED
+    from ``max_hamming`` (``max_hamming + 1`` bands over the 60 signature
+    bits), so the pigeonhole guarantee — a pair within the distance bound
+    shares at least one unchanged band — holds for EVERY accepted
+    ``max_hamming``, not just the 4-band/distance-3 special case (a fixed
+    4-band split silently dropped distance-4..6 pairs whose differing
+    bits spread across all four bands). ``max_hamming=3`` reproduces the
+    classic 4×15-bit split bit-for-bit. Full recall applies to buckets
+    within ``bucket_cap``; oversized buckets (mass-duplicated
     boilerplate) degrade to star-to-representative candidates via
     :func:`capped_band_candidates`, bounding the fan-out.
 
     Bands are unpivoted with ``stack`` so candidate generation is ONE
-    equality self-join on (band_id, band_key) instead of four separate
-    joins unioned — one shuffle, and the signature input is scanned twice
-    rather than eight times."""
+    equality self-join on (band_id, band_key) instead of per-band joins
+    unioned — one shuffle, and the signature input is scanned twice."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 60:
+        raise ValueError(f"max_hamming must be in [0, 59]: {max_hamming}")
+    width = 60 // n_bands
+    parts = []
+    for i in range(n_bands):
+        shift = i * width
+        w = width if i < n_bands - 1 else 60 - shift
+        parts.append(f"{i}, CAST(shiftright(simhash, {shift}) "
+                     f"& {(1 << w) - 1} AS BIGINT)")
     bands = signatures.selectExpr(
         "doc_id", "simhash",
-        "stack(4, 0, band_0, 1, band_1, 2, band_2, 3, band_3) "
-        "AS (band_id, band_key)")
+        f"stack({n_bands}, {', '.join(parts)}) AS (band_id, band_key)")
     cand = capped_band_candidates(bands, bucket_cap, payload=("simhash",),
                                   group_col="simhash")
     dist = F.bit_count(F.col("simhash_1").bitwiseXOR(F.col("simhash_2")))

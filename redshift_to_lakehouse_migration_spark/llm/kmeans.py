@@ -28,9 +28,11 @@ from .similarity import ivf_assign
 
 def l2_normalize(vec: F.Column) -> F.Column:
     """Unit-normalize an array<float/double> column (zero vectors pass
-    through unchanged to avoid div-by-zero)."""
-    norm = F.sqrt(F.aggregate(
-        vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    through unchanged to avoid div-by-zero). Uses the canonical
+    similarity.norm fold — same left-to-right double fold the oracle
+    parity contract pins."""
+    from .similarity import norm as _norm
+    norm = _norm(vec)
     return F.when(norm == 0, vec.cast("array<double>")).otherwise(
         F.transform(vec, lambda x: x.cast("double") / norm))
 

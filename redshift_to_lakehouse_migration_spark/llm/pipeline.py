@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..queries.curation import BENCH_MOD, NGRAM_N
 from ..queries.sampling import DEFAULT_CEILING, PACK_BUDGET, STRATUM_CEILING
 from .components import connected_components
-from .dedup import norm_text
+from .dedup import norm_text, ws_token_count
 
 
 def stage_raw(docs: DataFrame) -> DataFrame:
@@ -37,8 +37,7 @@ def stage_raw(docs: DataFrame) -> DataFrame:
     return (
         docs.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
         .select("doc_id", "lang", "text",
-                F.size(F.split(F.trim(text), r"\s+")).cast("long")
-                .alias("n_tokens"))
+                ws_token_count(text).cast("long").alias("n_tokens"))
     )
 
 
@@ -104,11 +103,10 @@ def stage_near_dup_canonical(deduped: DataFrame,
 
 
 def _grams(text_col: F.Column) -> F.Column:
-    # Single-pass tokenization (split on \s+, no collapse pass): token-
-    # identical to the normalize-then-split form — see _gram_arrays in
-    # queries/curation.py and tests/test_text_parity.py — but one per-byte
-    # regex pass instead of two over the corpus text.
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    # Tokens via the trim-LAST norm (see dedup.norm_text): one regex
+    # rewrite + a literal-space split, and no phantom empty tokens at the
+    # edges when text carries leading/trailing non-space whitespace.
+    toks = F.split(norm_text(text_col), " ")
     grams = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
@@ -175,9 +173,15 @@ def funnel(docs: DataFrame) -> DataFrame:
     """The whole funnel as ONE single-pass plan: every document carries a
     survival flag per stage (the lineage instrumentation a production
     pipeline would emit anyway), and one conditional aggregate + unpivot
-    yields (stage_id, stage, docs, tokens) for all six stages. One Spark
-    job instead of one per stage — the per-action fixed cost dominates
-    small runs, and at 100 TB one corpus pass beats six."""
+    yields (stage_id, stage, docs, tokens) for all six stages in ONE
+    final aggregate job instead of one per stage — the per-action fixed
+    cost dominates small runs, and at 100 TB one corpus pass beats six.
+
+    Caveat: constructing this plan is NOT fully lazy — the embedded
+    near-dup clustering step (connected_components) eagerly checkpoints
+    the pair graph and runs one small convergence probe per propagation
+    round, so calling funnel() executes the shingle/Jaccard/clustering
+    work up front even if the returned DataFrame is never collected."""
     from .dedup import jaccard_pairs, shingles
 
     raw = stage_raw(docs)

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 def split_subvectors(vecs: DataFrame, id_col: str, vec_col: str,
                      m: int, dim: int) -> DataFrame:
     """(id, subspace, subvec) long form; subspace j holds dims
-    [j·dim/m, (j+1)·dim/m)."""
+    [j·dim/m, (j+1)·dim/m). ``dim`` must divide evenly into ``m``
+    subspaces — otherwise the trailing ``dim % m`` dimensions would be
+    silently dropped from training, encoding, and every ADC distance."""
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m}: the trailing "
+            f"{dim % m} dimensions would be silently discarded")
     width = dim // m
     parts = F.array(*[
         F.struct(F.lit(j).alias("subspace"),
@@ -157,14 +163,12 @@ def refine_topk(candidates: DataFrame, corpus: DataFrame, probes: DataFrame,
     pvec = probes.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("__q_emb"))
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
-
+    # the ONE canonical fold (similarity.dot/norm): the fold order is
+    # pinned for oracle parity, so it must not fork per module
+    from .similarity import dot as _dot
+    from .similarity import norm as _norm
     sim = _dot(F.col("__q_emb"), F.col("__n_emb")) / (
-        F.sqrt(_dot(F.col("__q_emb"), F.col("__q_emb")))
-        * F.sqrt(_dot(F.col("__n_emb"), F.col("__n_emb"))))
+        _norm(F.col("__q_emb")) * _norm(F.col("__n_emb")))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     w = W.partitionBy("query_id").orderBy(

@@ -29,7 +29,7 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"corpus_funnel": corpus_funnel}
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _GRAMS = ("list_transform(generate_series(1, greatest(len(t) - 4, 0)), "
           "i -> array_to_string(t[i:i+4], ' '))")
 
@@ -37,7 +37,7 @@ ORACLES = {
     "corpus_funnel": f"""
     WITH RECURSIVE base AS (
         SELECT doc_id, lang, text, {_NORM} AS norm,
-               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+               CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                     AS BIGINT) AS n_tokens
         FROM documents
         WHERE text IS NOT NULL AND length(trim(text)) > 0

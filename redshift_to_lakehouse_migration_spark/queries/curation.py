@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm.dedup import norm_text
 from ..tables import load, spread
 
 # Word n-gram width for the contamination check (13 is the published
@@ -31,17 +32,16 @@ def _gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document array of distinct word NGRAM_N-grams (map-side only:
     normalize → split → sliding window → array_distinct, no explode).
 
-    Tokenization is one pass — ``split`` on ``\\s+`` directly, not
-    collapse-whitespace-then-split: each maximal whitespace run is one
-    separator either way (leading/trailing runs yield the same empty
-    tokens under Spark's limit=-1), so token arrays are identical
-    (pinned in tests/test_text_parity.py) while skipping a full
-    regexp_replace rewrite of every corpus byte — one of the two
-    dominant per-byte passes in the decontamination scan at 100 TB.
-    The DuckDB oracle keeps the two-step form; parity holds because the
-    token arrays agree."""
+    Tokenization is the trim-LAST norm (``llm.dedup.norm_text``) split on
+    the literal single space: one regex rewrite of the corpus bytes plus
+    a trivial split, and no phantom empty edge tokens when text carries
+    leading/trailing non-space whitespace (Spark's ``trim`` strips only
+    spaces, so the old trim-first forms kept a trailing newline as a
+    trailing empty token). The DuckDB oracle mirrors the same order;
+    the engine-level whitespace envelope stays pinned in
+    tests/test_text_parity.py."""
     d = spread(load(spark, sf_dir, "documents"), spark)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(norm_text(F.col("text")), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
@@ -97,8 +97,7 @@ _GRAMS = f"""
                i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' ')))) AS gram
     FROM (
         SELECT doc_id, lang,
-               string_split(regexp_replace(lower(trim(text)),
-                                           '\\s+', ' ', 'g'), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
         FROM documents
     )
     WHERE len(t) >= {NGRAM_N}

@@ -44,8 +44,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic order at the query surface; the library operator is
+    # deliberately unsorted (scale path)
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                               n_perm=32, band_rows=4, threshold=0.5)
+                               n_perm=32, band_rows=4, threshold=0.5) \
+        .orderBy("doc_id_1", "doc_id_2")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +104,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
 }
 
-_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 # Both engines drop shingles whose within-block document frequency exceeds
 # the cap (quadratic-join boilerplate; see llm/dedup.py) — the filter is

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm.dedup import norm_text, ws_token_count
 from ..tables import load, spread
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
@@ -34,7 +35,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"), spark)
     text = F.col("text")
     n_chars = F.length(text)
-    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_tokens = ws_token_count(text)
     n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
@@ -86,7 +87,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: md5 of whitespace-normalized
     lowercase text, plus prefix/suffix block hashes (cheap near-dup signal)."""
     d = spread(load(spark, sf_dir, "documents"), spark)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     return d.select(
         F.col("doc_id"),
         F.md5(norm).alias("fingerprint"),
@@ -108,7 +109,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions — codegen'd, shuffle-free, linear at 100 TB."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     text = F.col("text")
-    n_ws = F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    n_ws = ws_token_count(text).cast("long")
     n_bpe = F.regexp_count(text, F.lit(_BPE_RE)).cast("long")
     n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
     return (
@@ -166,23 +167,23 @@ ORACLES = {
             doc_id,
             lang AS lang_label,
             length(text) AS n_chars,
-            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
                 AS n_tokens,
             length(regexp_replace(text, '\\s', '', 'g'))
-                / len(regexp_split_to_array(trim(text), '\\s+'))
+                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                 AS avg_token_len,
             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
                 AS punct_ratio,
             CAST(len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT)
                 AS stopword_count,
             len(regexp_extract_all(lower(text), '{_STOP_RE}'))
-                / len(regexp_split_to_array(trim(text), '\\s+'))
+                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                 AS stopword_ratio,
-            least(len(regexp_split_to_array(trim(text), '\\s+')) / 50.0, 1.0)
+            least(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) / 50.0, 1.0)
             * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                    / length(text))
             * CASE WHEN len(regexp_extract_all(lower(text), '{_STOP_RE}'))
-                        / len(regexp_split_to_array(trim(text), '\\s+'))
+                        / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                         BETWEEN 0.01 AND 0.6
                    THEN 1.0 ELSE 0.5 END AS quality_score
         FROM documents
@@ -201,26 +202,25 @@ ORACLES = {
     "doc_fingerprint": """
         SELECT
             doc_id,
-            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                 AS fingerprint,
-            md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+            md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                        1, 64)) AS prefix_fingerprint,
-            md5(substr(reverse(regexp_replace(lower(trim(text)), '\\s+', ' ',
-                                              'g')), 1, 64))
+            md5(substr(reverse(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 64))
                 AS suffix_fingerprint,
-            length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                 AS norm_length
         FROM documents
     """,
     "token_count_bpe": f"""
         SELECT
             doc_id,
-            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
                 AS n_ws_tokens,
             CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
                 AS n_bpe_tokens,
             len(regexp_extract_all(text, '{_BPE_RE}'))
-                / len(regexp_split_to_array(trim(text), '\\s+'))
+                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                 AS bpe_per_word,
             length(regexp_replace(text, '\\s', '', 'g'))
                 / len(regexp_extract_all(text, '{_BPE_RE}'))
@@ -250,9 +250,9 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup, one for the stats; linear at 100 TB."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     text = F.col("text")
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = norm_text(text)
     n_chars = F.length(text)
-    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_tokens = ws_token_count(text)
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
     # threshold gates in integer arithmetic so borderline docs can never
@@ -287,19 +287,19 @@ QUERIES["corpus_prep"] = corpus_prep
 ORACLES["corpus_prep"] = f"""
     WITH gated AS (
         SELECT doc_id, lang,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    AS content_hash,
-               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
                    AS n_tokens
         FROM documents
         WHERE text IS NOT NULL AND length(trim(text)) > 0
-          AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+          AND len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) >= 5
           AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 5
               < length(text)
           AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 100
-              >= len(regexp_split_to_array(trim(text), '\\s+'))
+              >= len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
           AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 10
-              <= len(regexp_split_to_array(trim(text), '\\s+')) * 6
+              <= len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) * 6
     ), keepers AS (
         SELECT content_hash, MIN(doc_id) AS doc_id,
                COUNT(*) AS dup_count
@@ -370,7 +370,7 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⇔ duplicate fraction > 20% — so borderline docs can't flip engines.
     Plan: map-side gram arrays, one hash aggregate keyed by doc."""
     d = spread(load(spark, sf_dir, "documents"), spark)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     toks = F.split(norm, " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -395,8 +395,7 @@ QUERIES["doc_repetition_filter"] = doc_repetition_filter
 ORACLES["doc_repetition_filter"] = """
     WITH toks AS (
         SELECT doc_id, lang,
-               string_split(regexp_replace(lower(trim(text)),
-                                           '\\s+', ' ', 'g'), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
         FROM documents
     ), grams AS (
         SELECT doc_id, lang,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..llm.dedup import ws_token_count
 from ..tables import load
 
 # Per-language keep rates as hex-prefix ceilings: keep iff the first two
@@ -77,7 +78,7 @@ def mix_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     while SQL engines yield NULL, so an unfiltered sum silently diverges
     on any corpus with NULL docs (dq_documents anticipates them)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tokens = ws_token_count("text").cast("long")
     # curated/high-quality buckets get 3x epochs, the rest 1x
     weight = F.when(F.col("source").isin("src1", "src2", "src3"), F.lit(3)) \
         .otherwise(F.lit(1))
@@ -115,7 +116,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-text docs are excluded (size(split(NULL)) = -1 in Spark vs NULL
     in SQL — a negative token count would corrupt every bin offset)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tokens = ws_token_count("text").cast("long")
     w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     toks = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
@@ -146,7 +147,7 @@ def pack_sequences_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pack_sequences`, just carrying text payloads. NULL-text docs are
     excluded, matching pack_sequences (and the -1-vs-NULL engine delta)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tokens = ws_token_count("text").cast("long")
     w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     binned = (
@@ -216,8 +217,7 @@ ORACLES = {
                    CASE WHEN source IN ('src1','src2','src3') THEN 3
                         ELSE 1 END AS weight,
                    COUNT(*) AS docs,
-                   CAST(SUM(CAST(len(regexp_split_to_array(trim(text),
-                                                           '\\s+'))
+                   CAST(SUM(CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                                  AS BIGINT)) AS BIGINT) AS tokens
             FROM documents
             WHERE text IS NOT NULL
@@ -239,16 +239,14 @@ ORACLES = {
     "pack_sequences_rows": f"""
         WITH binned AS (
             SELECT doc_id, lang, text,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                   CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                         AS BIGINT) AS n_tokens,
-                   CAST(SUM(CAST(len(regexp_split_to_array(trim(text),
-                                                           '\\s+'))
+                   CAST(SUM(CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                                  AS BIGINT)) OVER (
                             PARTITION BY lang ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW
-                        ) - CAST(len(regexp_split_to_array(trim(text),
-                                                           '\\s+'))
+                        ) - CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                                  AS BIGINT) AS BIGINT)
                        // {PACK_BUDGET} AS bin_id
             FROM documents
@@ -267,7 +265,7 @@ ORACLES = {
     "pack_sequences": f"""
         WITH toks AS (
             SELECT doc_id, lang,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                   CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                         AS BIGINT) AS n_tokens
             FROM documents
             WHERE text IS NOT NULL

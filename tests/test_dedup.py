@@ -453,3 +453,26 @@ def test_mixed_oversized_bucket_pairs_groups_directly(spark):
     # candidate volume stayed linear: 2(n-1) intra-family + 1 rep-rep pair
     assert len(found) == 2 * (n - 1) + sum(
         1 for (a, b) in found if (a, b) == (0, n))
+
+
+def test_simhash_banding_pigeonhole_holds_for_requested_distance(spark):
+    """Band count derives from max_hamming, so the pigeonhole recall
+    guarantee holds for ANY requested distance: a hamming-4 pair with one
+    differing bit in each of the classic four 15-bit bands (positions
+    0/15/30/45) shares NO 15-bit band — the fixed 4-band split silently
+    missed it even at max_hamming=6 — but with 7 derived bands at least
+    three are untouched and the pair must surface."""
+    sig = spark.createDataFrame(
+        [(1, 0), (2, (1 << 0) | (1 << 15) | (1 << 30) | (1 << 45))],
+        "doc_id long, simhash long")
+    found = D.simhash_near_pairs(sig, max_hamming=6).collect()
+    assert [(r.doc_id_1, r.doc_id_2, r.hamming_distance)
+            for r in found] == [(1, 2, 4)]
+    # the distance filter still rejects out-of-bound pairs
+    assert D.simhash_near_pairs(sig, max_hamming=3).count() == 0
+    # and the default reproduces the classic 4x15-bit split: a pair
+    # within distance 3 is always found
+    close = spark.createDataFrame(
+        [(1, 0), (2, (1 << 2) | (1 << 17) | (1 << 59))],
+        "doc_id long, simhash long")
+    assert D.simhash_near_pairs(close, max_hamming=3).count() == 1

@@ -38,16 +38,19 @@ import pytest
 
 
 def _spark_tokens(spark, s: str) -> list[str]:
+    # the engine's canonical tokenizer: trim-LAST norm split on ' '
+    # (llm.dedup.norm_text order — collapse, then trim)
     lit = s.replace("\\", "\\\\").replace("'", "''")
     return spark.sql(
-        f"SELECT split(trim(lower('{lit}')), '\\\\s+') AS t"
+        f"SELECT split(trim(regexp_replace(lower('{lit}'), "
+        f"'\\\\s+', ' ')), ' ') AS t"
     ).collect()[0].t
 
 
 def _duck_tokens(s: str) -> list[str]:
     return duckdb.sql(
-        "SELECT string_split(regexp_replace(lower(trim(?)), "
-        "'\\s+', ' ', 'g'), ' ')", params=[s]
+        "SELECT string_split(trim(regexp_replace(lower(?), "
+        "'\\s+', ' ', 'g')), ' ')", params=[s]
     ).fetchone()[0]
 
 
@@ -165,3 +168,37 @@ def test_single_pass_tokenizer_equivalence_randomized(spark):
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
     assert df.select(one_pass.alias("a"), two_pass.alias("b")) \
         .filter("a <> b").count() == 0
+
+
+def test_trailing_whitespace_normalizes_away(spark):
+    """Trim-LAST normalization: 'hello world' and 'hello world\\n' (or
+    trailing tab/CR) must normalize identically in BOTH engines — the
+    trim-first form left the trailing run behind as a space, silently
+    defeating exact dedup for the most common text variation there is."""
+    variants = ["hello world", "hello world\n", "hello world\t",
+                "\nhello world", "  hello world \r\n"]
+    for v in variants:
+        assert _spark_tokens(spark, v) == ["hello", "world"], repr(v)
+        assert _duck_tokens(v) == ["hello", "world"], repr(v)
+
+    from pyspark.sql import functions as F
+
+    from redshift_to_lakehouse_migration_spark.llm.dedup import (
+        exact_duplicates, norm_text, ws_token_count,
+    )
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(variants)], "doc_id long, text string")
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0].member_count == 5
+    # token counts carry no phantom empty tokens
+    counts = docs.select(ws_token_count("text").alias("n")).collect()
+    assert all(r.n == 2 for r in counts)
+    # and the DuckDB oracle twin hashes identically
+    import duckdb as d
+    norm_sql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    duck = d.sql(
+        f"SELECT DISTINCT md5({norm_sql}) FROM (SELECT ? AS text UNION ALL "
+        f"SELECT ?) ", params=["hello world", "hello world\n"]).fetchall()
+    spark_hash = docs.limit(1).select(
+        F.md5(norm_text("text")).alias("h")).collect()[0].h
+    assert len(duck) == 1 and duck[0][0] == spark_hash
