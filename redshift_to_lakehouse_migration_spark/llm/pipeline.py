@@ -41,17 +41,26 @@ def stage_raw(docs: DataFrame) -> DataFrame:
     )
 
 
-def stage_gate(raw: DataFrame) -> DataFrame:
-    """Quality gate — integer-exact thresholds (same as `corpus_prep`)."""
+def gate_predicate() -> F.Column:
+    """The `corpus_prep` quality gate over (text, n_tokens) columns —
+    integer-exact thresholds. ONE definition shared by :func:`stage_gate`
+    and :func:`funnel` (the lazy-funnel/runner parity contract,
+    test_runner_matches_lazy_funnel, depends on the copies never
+    drifting — so there are no copies)."""
     text = F.col("text")
     n_chars = F.length(text)
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     from ..queries.llm_text import _STOP_RE
     n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
     n_tokens = F.col("n_tokens")
-    return raw.filter((n_tokens >= 5) & (n_punct * 5 < n_chars)
-                      & (n_stop * 100 >= n_tokens)
-                      & (n_stop * 10 <= n_tokens * 6))
+    return ((n_tokens >= 5) & (n_punct * 5 < n_chars)
+            & (n_stop * 100 >= n_tokens)
+            & (n_stop * 10 <= n_tokens * 6))
+
+
+def stage_gate(raw: DataFrame) -> DataFrame:
+    """Quality gate — integer-exact thresholds (same as `corpus_prep`)."""
+    return raw.filter(gate_predicate())
 
 
 def stage_exact_dedup(gated: DataFrame) -> DataFrame:
@@ -116,17 +125,23 @@ def _grams(text_col: F.Column) -> F.Column:
         .otherwise(F.array().cast("array<string>"))
 
 
+def bench_gram_set(docs: DataFrame) -> DataFrame:
+    """Distinct word NGRAM_N-grams of the benchmark membership — shared
+    by :func:`stage_decontaminate` and :func:`funnel`."""
+    return (
+        docs.filter((F.col("doc_id") % BENCH_MOD == 0)
+                    & F.col("text").isNotNull())
+        .select(F.explode(_grams(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+
+
 def stage_decontaminate(canonical: DataFrame,
                         all_docs: DataFrame) -> DataFrame:
     """Drop benchmark docs themselves and any doc sharing a word
     NGRAM_N-gram with the benchmark set (same rule as
     `contamination_check`; short docs carry no grams and pass)."""
-    bench_grams = (
-        all_docs.filter((F.col("doc_id") % BENCH_MOD == 0)
-                        & F.col("text").isNotNull())
-        .select(F.explode(_grams(F.col("text"))).alias("gram"))
-        .distinct()
-    )
+    bench_grams = bench_gram_set(all_docs)
     corpus = canonical.filter(F.col("doc_id") % BENCH_MOD != 0)
     dirty = (
         corpus.select("doc_id", F.explode(_grams(F.col("text")))
@@ -137,13 +152,19 @@ def stage_decontaminate(canonical: DataFrame,
     return corpus.join(dirty, "doc_id", "left_anti")
 
 
-def stage_sample(clean: DataFrame) -> DataFrame:
-    """Deterministic stratified sample (same rule as `sample_stratified`)."""
+def sample_predicate() -> F.Column:
+    """The deterministic md5-threshold sample rule (`sample_stratified`)
+    — shared by :func:`stage_sample` and :func:`funnel`."""
     ceiling = F.when(F.col("lang") == "en",
                      F.lit(STRATUM_CEILING["en"])) \
         .otherwise(F.lit(DEFAULT_CEILING))
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    return clean.filter(bucket < ceiling)
+    return bucket < ceiling
+
+
+def stage_sample(clean: DataFrame) -> DataFrame:
+    """Deterministic stratified sample (same rule as `sample_stratified`)."""
+    return clean.filter(sample_predicate())
 
 
 def stage_pack(sampled: DataFrame) -> DataFrame:
@@ -185,16 +206,7 @@ def funnel(docs: DataFrame) -> DataFrame:
     from .dedup import jaccard_pairs, shingles
 
     raw = stage_raw(docs)
-    text = F.col("text")
-    n_chars = F.length(text)
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    from ..queries.llm_text import _STOP_RE
-    n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
-    n_tokens = F.col("n_tokens")
-    in_gated = ((n_tokens >= 5) & (n_punct * 5 < n_chars)
-                & (n_stop * 100 >= n_tokens)
-                & (n_stop * 10 <= n_tokens * 6))
-    flagged = raw.withColumn("in_gated", in_gated) \
+    flagged = raw.withColumn("in_gated", gate_predicate()) \
         .withColumn("content_hash", F.md5(norm_text("text")))
 
     keepers = (flagged.filter("in_gated")
@@ -224,12 +236,7 @@ def funnel(docs: DataFrame) -> DataFrame:
         .drop("node", "comp")
     )
 
-    bench_grams = (
-        docs.filter((F.col("doc_id") % BENCH_MOD == 0)
-                    & F.col("text").isNotNull())
-        .select(F.explode(_grams(F.col("text"))).alias("gram"))
-        .distinct()
-    )
+    bench_grams = bench_gram_set(docs)
     dirty = (
         flagged.filter(F.col("in_canon")
                        & (F.col("doc_id") % BENCH_MOD != 0))
@@ -238,17 +245,14 @@ def funnel(docs: DataFrame) -> DataFrame:
         .select("doc_id").distinct()
         .withColumn("is_dirty", F.lit(True))
     )
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    ceiling = F.when(F.col("lang") == "en",
-                     F.lit(STRATUM_CEILING["en"])) \
-        .otherwise(F.lit(DEFAULT_CEILING))
     flagged = (
         flagged.join(dirty, "doc_id", "left")
         .withColumn("in_clean",
                     F.col("in_canon")
                     & (F.col("doc_id") % BENCH_MOD != 0)
                     & F.col("is_dirty").isNull())
-        .withColumn("in_sampled", F.col("in_clean") & (bucket < ceiling))
+        .withColumn("in_sampled",
+                    F.col("in_clean") & sample_predicate())
     )
 
     flags = ("in_raw", "in_gated", "in_exact", "in_canon", "in_clean",
