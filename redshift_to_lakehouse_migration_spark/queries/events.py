@@ -514,9 +514,14 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Equivalence assumption (narrower than full JSON semantics, pinned
     case-by-case in tests/test_text_parity.py): the two predicates agree
-    on syntactically-invalid NON-EMPTY JSON — the only corruption mode in
-    the driver corpus — but diverge on WELL-FORMED documents that violate
-    the schema: `from_json` also flags valid non-object JSON (`"5"`,
+    on syntactically-invalid NON-EMPTY JSON — the only corruption mode a
+    corpus in the driver's shape could realistically carry. (The driver
+    corpus itself contains NO corrupt documents — every props is a
+    well-formed ``{"k": int}`` object, which is also why the unguarded
+    ``json_extract_string`` in the governance/_props oracles is safe —
+    so ``unparseable`` is 0 at every SF and the envelope below matters
+    only for corrupt corpora.) The predicates diverge on WELL-FORMED
+    documents that violate the schema: `from_json` also flags valid non-object JSON (`"5"`,
     `[1]`) and objects whose `k` is mistyped (`{"k":"abc"}`,
     `{"k":"12"}`), which `json_valid` accepts (k parses as NULL — or as
     12 via string coercion); and the EMPTY STRING diverges the other way

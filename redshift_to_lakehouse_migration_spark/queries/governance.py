@@ -128,6 +128,13 @@ QUERIES = {
     "masked_dim_customer_view": masked_dim_customer_view,
 }
 
+# Unguarded json_extract_string + plain CAST is deliberate here: the
+# driver corpus's props are uniformly well-formed {"k": int} objects
+# (verified — zero json_valid failures at every SF), so a guard would
+# only mask a corpus regression. A corrupt-tolerant deployment would
+# wrap these in json_valid()/TRY_CAST — the divergence envelope between
+# that form and Spark's get_json_object is pinned in
+# tests/test_text_parity.py.
 _LOG = """
     SELECT user_id AS principal_id,
            event_type AS action,

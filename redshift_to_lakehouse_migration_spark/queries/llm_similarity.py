@@ -173,17 +173,14 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: 64-dim floats → 4 subspace codes (byte-
-    scale compression for 100 TB embedding stores), one Lloyd iteration
-    per subspace from deterministic seeds, then asymmetric-distance top-5
-    (probe-side distance table broadcast, candidate distance = sum of 4
-    code lookups). Rows-only (float sums + iterative training are not
-    portable SQL); tests/test_pq.py asserts quantization-error descent,
-    code validity, and above-chance recall vs the exact baseline."""
+def _pq_codebook(e):
+    """Shared PQ training pieces: subvectors, deterministic seed init,
+    one Lloyd iteration, codes. ONE definition — the three PQ queries
+    previously carried verbatim copies whose parameters (m, seed rule,
+    iters) had to be edited in lockstep."""
     from pyspark.sql import Window as W
+
     from ..llm import pq
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
     sub = pq.split_subvectors(e, "vec_id", "embedding", m=4, dim=_DIM)
     seeds = sub.filter(F.col("vec_id") % 64 == 0)
     init = seeds.select(
@@ -193,6 +190,34 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("subvec").alias("centroid"))
     codebook = pq.train_codebook(sub, init, iters=1)
     codes = pq.encode(sub, codebook)
+    return sub, codebook, codes
+
+
+def _ivf_lists(e):
+    """Shared IVF pieces: coarse centroids (every 64th vector), corpus
+    inverted lists (nprobe=1), multi-probe query lists (nprobe=2)."""
+    coarse = e.filter(F.col("vec_id") % 64 == 0)
+    lists = sim.ivf_assign(e, coarse, "vec_id", "embedding",
+                           "vec_id", "embedding", nprobe=1) \
+        .select("vec_id", "centroid_id")
+    probe_vecs = e.filter(F.col("vec_id") % 50 == 0)
+    probe_lists = sim.ivf_assign(probe_vecs, coarse, "vec_id", "embedding",
+                                 "vec_id", "embedding", nprobe=2) \
+        .select("vec_id", "centroid_id")
+    return lists, probe_vecs, probe_lists
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim floats → 4 subspace codes (byte-
+    scale compression for 100 TB embedding stores), one Lloyd iteration
+    per subspace from deterministic seeds, then asymmetric-distance top-5
+    (probe-side distance table broadcast, candidate distance = sum of 4
+    code lookups). Rows-only (float sums + iterative training are not
+    portable SQL); tests/test_pq.py asserts quantization-error descent,
+    code validity, and above-chance recall vs the exact baseline."""
+    from ..llm import pq
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    sub, codebook, codes = _pq_codebook(e)
     probes = sub.filter(F.col("vec_id") % 50 == 0)
     return pq.adc_topk(codes, probes, codebook, k=5) \
         .orderBy("query_id", "rank")
@@ -204,26 +229,10 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates from a centroid-equality join with multi-probe (nprobe=2);
     ADC ranks them via the broadcast probe distance table. The corpus
     ships one row of M byte-codes per vector — never a float vector."""
-    from pyspark.sql import Window as W
     from ..llm import pq
     e = spread(load(spark, sf_dir, "embeddings"), spark)
-    coarse = e.filter(F.col("vec_id") % 64 == 0)
-    lists = sim.ivf_assign(e, coarse, "vec_id", "embedding",
-                           "vec_id", "embedding", nprobe=1) \
-        .select("vec_id", "centroid_id")
-    probe_vecs = e.filter(F.col("vec_id") % 50 == 0)
-    probe_lists = sim.ivf_assign(probe_vecs, coarse, "vec_id", "embedding",
-                                 "vec_id", "embedding", nprobe=2) \
-        .select("vec_id", "centroid_id")
-    sub = pq.split_subvectors(e, "vec_id", "embedding", m=4, dim=_DIM)
-    seeds = sub.filter(F.col("vec_id") % 64 == 0)
-    init = seeds.select(
-        "subspace",
-        (F.row_number().over(W.partitionBy("subspace").orderBy("vec_id"))
-         - 1).alias("code"),
-        F.col("subvec").alias("centroid"))
-    codebook = pq.train_codebook(sub, init, iters=1)
-    codes = pq.encode(sub, codebook)
+    lists, _probe_vecs, probe_lists = _ivf_lists(e)
+    sub, codebook, codes = _pq_codebook(e)
     probes_sub = sub.filter(F.col("vec_id") % 50 == 0)
     return pq.adc_topk_within_lists(codes, lists, probes_sub, probe_lists,
                                     codebook, k=5) \
@@ -237,26 +246,10 @@ def knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5. The corpus-wide work never touches a float vector; the refine
     join is candidate-sized. Recovers the ADC quantization loss (recall
     gate in tests/test_pq.py). Rows-only like the other PQ entries."""
-    from pyspark.sql import Window as W
     from ..llm import pq
     e = spread(load(spark, sf_dir, "embeddings"), spark)
-    coarse = e.filter(F.col("vec_id") % 64 == 0)
-    lists = sim.ivf_assign(e, coarse, "vec_id", "embedding",
-                           "vec_id", "embedding", nprobe=1) \
-        .select("vec_id", "centroid_id")
-    probe_vecs = e.filter(F.col("vec_id") % 50 == 0)
-    probe_lists = sim.ivf_assign(probe_vecs, coarse, "vec_id", "embedding",
-                                 "vec_id", "embedding", nprobe=2) \
-        .select("vec_id", "centroid_id")
-    sub = pq.split_subvectors(e, "vec_id", "embedding", m=4, dim=_DIM)
-    seeds = sub.filter(F.col("vec_id") % 64 == 0)
-    init = seeds.select(
-        "subspace",
-        (F.row_number().over(W.partitionBy("subspace").orderBy("vec_id"))
-         - 1).alias("code"),
-        F.col("subvec").alias("centroid"))
-    codebook = pq.train_codebook(sub, init, iters=1)
-    codes = pq.encode(sub, codebook)
+    lists, probe_vecs, probe_lists = _ivf_lists(e)
+    sub, codebook, codes = _pq_codebook(e)
     probes_sub = sub.filter(F.col("vec_id") % 50 == 0)
     cand = pq.adc_topk_within_lists(codes, lists, probes_sub, probe_lists,
                                     codebook, k=50)

@@ -266,18 +266,28 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((n_tokens >= 5) & (n_punct * 5 < n_chars)
                 & (n_stop * 100 >= n_tokens) & (n_stop * 10 <= n_tokens * 6))
     )
-    keepers = (
-        gated.groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"),
-             F.count("*").alias("dup_count"))
-    )
-    kept = gated.join(keepers.select("content_hash", "doc_id", "dup_count"),
-                      ["content_hash", "doc_id"])
+    # Per-language accounting at each doc's OWN language: dup groups span
+    # languages in real corpora (the generator assigns lang independently
+    # of duplicated text), so attributing a whole group's removals to the
+    # KEEPER's lang — the earlier form, mirrored by the oracle and thus
+    # invisible to the hash gate — miscounted every cross-language dup.
+    keepers = gated.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_id"))
+    labeled = gated.join(keepers, "content_hash")
+    kept = (labeled.filter(F.col("doc_id") == F.col("keeper_id"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("kept_docs"),
+                 F.sum("n_tokens").alias("kept_tokens")))
+    removed = (labeled.filter(F.col("doc_id") != F.col("keeper_id"))
+               .groupBy("lang")
+               .agg(F.count("*").alias("dups_removed")))
     return (
-        kept.groupBy("lang")
-        .agg(F.count("*").alias("kept_docs"),
-             F.sum("n_tokens").alias("kept_tokens"),
-             F.sum(F.col("dup_count") - 1).alias("dups_removed"))
+        kept.join(removed, "lang", "full_outer")
+        .select("lang",
+                F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+                F.coalesce("kept_tokens", F.lit(0).cast("long"))
+                .alias("kept_tokens"),
+                F.coalesce("dups_removed", F.lit(0)).alias("dups_removed"))
         .orderBy("lang")
     )
 
@@ -301,19 +311,25 @@ ORACLES["corpus_prep"] = f"""
           AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 10
               <= len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) * 6
     ), keepers AS (
-        SELECT content_hash, MIN(doc_id) AS doc_id,
-               COUNT(*) AS dup_count
+        SELECT content_hash, MIN(doc_id) AS keeper_id
         FROM gated GROUP BY content_hash
+    ), labeled AS (
+        SELECT g.*, k.keeper_id
+        FROM gated g JOIN keepers k ON g.content_hash = k.content_hash
+    ), kept AS (
+        SELECT lang, COUNT(*) AS kept_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+        FROM labeled WHERE doc_id = keeper_id GROUP BY lang
+    ), removed AS (
+        SELECT lang, COUNT(*) AS dups_removed
+        FROM labeled WHERE doc_id <> keeper_id GROUP BY lang
     )
-    SELECT g.lang,
-           COUNT(*) AS kept_docs,
-           CAST(SUM(g.n_tokens) AS BIGINT) AS kept_tokens,
-           CAST(SUM(k.dup_count - 1) AS BIGINT) AS dups_removed
-    FROM gated g
-    JOIN keepers k ON g.content_hash = k.content_hash
-                  AND g.doc_id = k.doc_id
-    GROUP BY g.lang
-    ORDER BY g.lang
+    SELECT COALESCE(k.lang, r.lang) AS lang,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(r.dups_removed, 0) AS BIGINT) AS dups_removed
+    FROM kept k FULL JOIN removed r ON k.lang = r.lang
+    ORDER BY lang
 """
 
 

@@ -97,7 +97,11 @@ def order_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("price_rank"),
             F.dense_rank().over(w).alias("price_dense_rank"),
             F.ntile(10).over(w).alias("price_decile"),
-            F.lag("o_totalprice", 1).over(w).alias("next_lower_price"),
+            # lead over the DESC window = the NEXT (lower-or-equal) price
+            # — lag here returned the PREVIOUS (higher) price under a
+            # column name promising the opposite, identically in the
+            # oracle, so the hash gate couldn't see it
+            F.lead("o_totalprice", 1).over(w).alias("next_lower_price"),
         )
         .filter(F.col("price_rank") <= 100)
     )
@@ -161,7 +165,7 @@ ORACLES = {
                    rank() OVER w AS price_rank,
                    dense_rank() OVER w AS price_dense_rank,
                    ntile(10) OVER w AS price_decile,
-                   lag(o.o_totalprice, 1) OVER w AS next_lower_price
+                   lead(o.o_totalprice, 1) OVER w AS next_lower_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WINDOW w AS (PARTITION BY c.c_mktsegment
                          ORDER BY o.o_totalprice DESC, o.o_orderkey)
