@@ -36,7 +36,12 @@ def _median(xs: list[float]) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # strict sf-label parse: a dir like .../sf0.1_v2 or /data/run1 must
+    # not record a garbage scale factor that later pairs timings across
+    # scales — fall back to the honest directory basename
+    import re
+    _m = re.search(r"sf([0-9]*\.?[0-9]+)$", sf_dir.rstrip("/"))
+    sf = _m.group(1) if _m else os.path.basename(sf_dir.rstrip("/"))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
 

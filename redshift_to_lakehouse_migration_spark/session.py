@@ -74,11 +74,28 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     """
     for k in ("spark.sql.session.timeZone",):
         spark.conf.set(k, DEFAULT_CONF[k])
+    # The remaining confs apply ONCE per session: tune_for_session runs on
+    # every tables.load call, and re-pinning would silently clobber a
+    # caller's own spark.conf.set between queries (a test disabling
+    # auto-broadcast to assert a bucketed join, a user raising shuffle
+    # partitions for one heavy query). TZ above is the exception — an
+    # overridden session TZ breaks oracle parity, so it stays pinned.
+    if spark.conf.get("spark.graft.sessionTuned", None) == "true":
+        return spark
+    spark.conf.set("spark.graft.sessionTuned", "true")
     for k in (
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.optimizer.excludedRules",
+        # perf confs are also runtime-settable and matter on the driver's
+        # plain session: Spark's 200-partition shuffle default and 10MB
+        # broadcast threshold roughly double small-SF query wall time,
+        # and the driver's sample budget is timeout-bounded — leaving
+        # them unpinned costs sample rows, not just seconds
+        "spark.sql.shuffle.partitions",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.execution.arrow.pyspark.enabled",
     ):
         try:
             spark.conf.set(k, DEFAULT_CONF[k])

@@ -2,7 +2,15 @@
 
 Runs every registered query at a given sf_dir on Spark AND its oracle SQL on
 DuckDB, then compares row count, sorted column names, and an order-insensitive
-value hash. Queries without an oracle get a rows-only check.
+value hash. Queries without an oracle get a rows-only check (non-empty).
+
+The cell normalization is TYPE-TAGGED and separator-escaped: a query
+regressing from SQL NULL to the string 'NULL', from DATE to its string
+form, or emitting a value containing the field separator must flip the
+hash, not silently collide into a false PASS. Both engines return the
+same Python classes for every column type the surface uses (date,
+datetime, Decimal, bool, int, float, str, bytes, list), so tagging is
+parity-neutral — asserted by the full suite staying green.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -23,47 +31,61 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
-
 
 def norm_cell(v):
-    """Normalize a cell to a canonical string (engine-neutral)."""
+    """Normalize a cell to a canonical TYPE-TAGGED string: two values
+    compare equal only when both class-category and content match."""
     if v is None:
-        return "NULL"
+        return "\x00N"
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return "\x00b:true" if v else "\x00b:false"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)
+            return "\x00f:NaN"
+        return "\x00f:" + repr(v)
+    if isinstance(v, int):
+        return "\x00i:" + str(v)
     if isinstance(v, Decimal):
-        return str(v)
+        return "\x00d:" + str(v)
     if isinstance(v, datetime):
-        return v.isoformat(sep=" ")
+        return "\x00ts:" + v.isoformat(sep=" ")
     if isinstance(v, date):
-        return v.isoformat()
+        return "\x00dt:" + v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        # length-prefix elements so ['a,b'] can never equal ['a','b']
+        return "\x00L:" + "|".join(
+            f"{len(e)}#{e}" for e in (norm_cell(x) for x in v))
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
+        return "\x00x:" + v.hex()
+    # strings: escape the field separator so a \x1f inside a value cannot
+    # shift the cell boundary
+    return "\x00s:" + str(v).replace("\x1f", "\x1f\x1f")
+
+
+def row_keys(rows, colnames):
+    """Canonical sorted row strings (ONE definition — the hash and the
+    mismatch diagnostic must agree on what was compared)."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
 
 
 def value_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    row_hashes = sorted(
-        hashlib.md5(
-            "\x1f".join(norm_cell(r[i]) for i in order).encode()
-        ).hexdigest()
-        for r in rows
-    )
-    return hashlib.md5("\n".join(row_hashes).encode()).hexdigest()
+    return hashlib.md5(
+        "\n".join(hashlib.md5(k.encode()).hexdigest()
+                  for k in row_keys(rows, colnames)).encode()).hexdigest()
 
 
 def main():
     from redshift_to_lakehouse_migration_spark.queries import ORACLES, QUERIES
     from redshift_to_lakehouse_migration_spark.session import get_spark
+    from redshift_to_lakehouse_migration_spark.tables import TABLES
+
+    unknown = ONLY - set(QUERIES)
+    if unknown:
+        # a typo must not select zero queries and exit green
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
 
     spark = get_spark("check_correctness")
     con = duckdb.connect()
@@ -84,9 +106,16 @@ def main():
             n_fail += 1
             continue
         if name not in ORACLES:
-            print(f"ROWS {name}: {len(s_rows)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
-            n_pass += 1
+            # rows-only contract still has a bar: a no-oracle query that
+            # regresses to empty output must fail loudly here
+            if s_rows:
+                print(f"ROWS {name}: {len(s_rows)} rows (no oracle) "
+                      f"[{time.time()-t0:.1f}s]")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: 0 rows (no oracle; rows-only check "
+                      f"requires non-empty output)")
+                n_fail += 1
             continue
         try:
             rel = con.sql(ORACLES[name])
@@ -102,20 +131,13 @@ def main():
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
         if not problems:
-            sh = value_hash(s_rows, s_cols)
-            dh = value_hash(d_rows, d_cols)
-            if sh != dh:
+            if value_hash(s_rows, s_cols) != value_hash(d_rows, d_cols):
                 problems.append("value-hash mismatch")
-                # diagnostic: show first differing row
-                key = lambda rows, cols: sorted(
-                    "\x1f".join(norm_cell(r[i]) for i in sorted(
-                        range(len(cols)), key=lambda j: cols[j]))
-                    for r in rows)
-                ss, dd = key(s_rows, s_cols), key(d_rows, d_cols)
+                ss, dd = row_keys(s_rows, s_cols), row_keys(d_rows, d_cols)
                 for a, b in zip(ss, dd):
                     if a != b:
-                        problems.append(f"  spark : {a[:300]}")
-                        problems.append(f"  duckdb: {b[:300]}")
+                        problems.append(f"  spark : {a[:300]!r}")
+                        problems.append(f"  duckdb: {b[:300]!r}")
                         break
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:1]))
