@@ -137,15 +137,28 @@ def bench_gram_set(docs: DataFrame) -> DataFrame:
 
 
 def stage_decontaminate(canonical: DataFrame,
-                        all_docs: DataFrame) -> DataFrame:
+                        all_docs: DataFrame,
+                        bloom_fpp: float | None = 0.01) -> DataFrame:
     """Drop benchmark docs themselves and any doc sharing a word
     NGRAM_N-gram with the benchmark set (same rule as
-    `contamination_check`; short docs carry no grams and pass)."""
+    `contamination_check`; short docs carry no grams and pass).
+
+    ``bloom_fpp``: as in `contamination_check` — a broadcast Bloom over
+    the benchmark grams filters each corpus gram array BEFORE the
+    explode (recall-preserving, result-identical; llm/bloom.py). This
+    stage was 46–50% of the pipeline at every measured SF (CHANGES_r5
+    §6); the explode fan-out it collapses is the corpus-sized part."""
+    from .bloom import bloom_filter_grams, build_gram_bloom, with_bloom_bits
+
     bench_grams = bench_gram_set(all_docs)
     corpus = canonical.filter(F.col("doc_id") % BENCH_MOD != 0)
+    dirty_src, grams_col = corpus, _grams(F.col("text"))
+    if bloom_fpp is not None:
+        bloom = build_gram_bloom(bench_grams, fpp=bloom_fpp)
+        dirty_src = with_bloom_bits(corpus, corpus.sparkSession, bloom)
+        grams_col = bloom_filter_grams(grams_col, bloom)
     dirty = (
-        corpus.select("doc_id", F.explode(_grams(F.col("text")))
-                      .alias("gram"))
+        dirty_src.select("doc_id", F.explode(grams_col).alias("gram"))
         .join(F.broadcast(bench_grams), "gram")
         .select("doc_id").distinct()
     )
@@ -236,11 +249,22 @@ def funnel(docs: DataFrame) -> DataFrame:
         .drop("node", "comp")
     )
 
+    # Bloom pre-filter over the benchmark grams, as in
+    # stage_decontaminate — recall-preserving, so the funnel counts are
+    # unchanged. Building it adds one small bench-side action to the
+    # (already non-lazy, see caveat above) plan construction.
+    from .bloom import bloom_filter_grams, build_gram_bloom, with_bloom_bits
+
     bench_grams = bench_gram_set(docs)
+    bloom = build_gram_bloom(bench_grams)
     dirty = (
-        flagged.filter(F.col("in_canon")
-                       & (F.col("doc_id") % BENCH_MOD != 0))
-        .select("doc_id", F.explode(_grams(F.col("text"))).alias("gram"))
+        with_bloom_bits(
+            flagged.filter(F.col("in_canon")
+                           & (F.col("doc_id") % BENCH_MOD != 0)),
+            docs.sparkSession, bloom)
+        .select("doc_id",
+                F.explode(bloom_filter_grams(_grams(F.col("text")), bloom))
+                .alias("gram"))
         .join(F.broadcast(bench_grams), "gram")
         .select("doc_id").distinct()
         .withColumn("is_dirty", F.lit(True))

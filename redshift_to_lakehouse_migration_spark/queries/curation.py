@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm.bloom import bloom_filter_grams, build_gram_bloom, with_bloom_bits
 from ..llm.dedup import norm_text
 from ..tables import load, spread
 
@@ -52,7 +53,8 @@ def _gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_check(spark: SparkSession, sf_dir: str,
+                        bloom_fpp: float | None = 0.01) -> DataFrame:
     """Per-document benchmark contamination: distinct grams, grams shared
     with the benchmark set, and the contaminated flag.
 
@@ -61,14 +63,30 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark gram join (benchmark side broadcast — eval sets are tiny
     next to the corpus), aggregated once by doc_id. The corpus text is
     scanned twice (totals + hits), which at 100 TB beats shuffling an
-    exploded gram stream three times."""
+    exploded gram stream three times.
+
+    ``bloom_fpp``: a broadcast Bloom filter over the benchmark grams
+    pre-filters each corpus gram ARRAY before the explode, so only
+    candidate grams (true matches + an fpp sliver) ever become rows —
+    the corpus-side fan-out that dominated `corpus_prep_pipeline`
+    (46–50% of wall time, CHANGES_r5 §6) collapses to the match set.
+    Recall-preserving, hence result-identical to ``bloom_fpp=None``
+    (no false negatives; see llm/bloom.py and tests/test_bloom.py).
+    Building it adds one small benchmark-side pass (~1/BENCH_MOD of
+    the corpus) — at 100 TB the eval side is fixed-size while the
+    avoided explode scales with the corpus."""
     base = _gram_arrays(spark, sf_dir)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_grams = (base.filter(is_bench)
                    .select(F.explode("grams").alias("gram")).distinct())
     corpus = base.filter(~is_bench)
+    hits_src, grams_col = corpus, F.col("grams")
+    if bloom_fpp is not None:
+        bloom = build_gram_bloom(bench_grams, fpp=bloom_fpp)
+        hits_src = with_bloom_bits(corpus, spark, bloom)
+        grams_col = bloom_filter_grams(grams_col, bloom)
     hits = (
-        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        hits_src.select("doc_id", F.explode(grams_col).alias("gram"))
         .join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_grams"))
