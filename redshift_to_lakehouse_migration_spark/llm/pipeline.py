@@ -138,22 +138,29 @@ def bench_gram_set(docs: DataFrame) -> DataFrame:
 
 def stage_decontaminate(canonical: DataFrame,
                         all_docs: DataFrame,
-                        bloom_fpp: float | None = 0.01) -> DataFrame:
+                        bloom_fpp: float | None = None) -> DataFrame:
     """Drop benchmark docs themselves and any doc sharing a word
     NGRAM_N-gram with the benchmark set (same rule as
     `contamination_check`; short docs carry no grams and pass).
 
-    ``bloom_fpp``: as in `contamination_check` — a broadcast Bloom over
-    the benchmark grams filters each corpus gram array BEFORE the
-    explode (recall-preserving, result-identical; llm/bloom.py). This
-    stage was 46–50% of the pipeline at every measured SF (CHANGES_r5
-    §6); the explode fan-out it collapses is the corpus-sized part."""
+    ``bloom_fpp``: as in `contamination_check` — optionally filter
+    each corpus gram array BEFORE the explode with a broadcast Bloom
+    over the benchmark grams (recall-preserving, result-identical;
+    llm/bloom.py). Default OFF: measured r6, the broadcast join
+    already filters map-side at bloom-probe cost on this corpus's
+    tiny gram vocabulary; turn it ON when the decontamination list
+    outgrows the broadcast threshold (the 100 TB big-list regime,
+    quantified in tools/bloom_crossover_probe.py)."""
     from .bloom import bloom_filter_grams, build_gram_bloom, with_bloom_bits
 
     bench_grams = bench_gram_set(all_docs)
     corpus = canonical.filter(F.col("doc_id") % BENCH_MOD != 0)
     dirty_src, grams_col = corpus, _grams(F.col("text"))
     if bloom_fpp is not None:
+        # One bench-side computation serves the bloom's two actions and
+        # the exact join (localCheckpoint blocks are not replicated —
+        # executor loss mid-plan re-raises; acceptable for the small side).
+        bench_grams = bench_grams.localCheckpoint(eager=True)
         bloom = build_gram_bloom(bench_grams, fpp=bloom_fpp)
         dirty_src = with_bloom_bits(corpus, corpus.sparkSession, bloom)
         grams_col = bloom_filter_grams(grams_col, bloom)
@@ -249,22 +256,11 @@ def funnel(docs: DataFrame) -> DataFrame:
         .drop("node", "comp")
     )
 
-    # Bloom pre-filter over the benchmark grams, as in
-    # stage_decontaminate — recall-preserving, so the funnel counts are
-    # unchanged. Building it adds one small bench-side action to the
-    # (already non-lazy, see caveat above) plan construction.
-    from .bloom import bloom_filter_grams, build_gram_bloom, with_bloom_bits
-
     bench_grams = bench_gram_set(docs)
-    bloom = build_gram_bloom(bench_grams)
     dirty = (
-        with_bloom_bits(
-            flagged.filter(F.col("in_canon")
-                           & (F.col("doc_id") % BENCH_MOD != 0)),
-            docs.sparkSession, bloom)
-        .select("doc_id",
-                F.explode(bloom_filter_grams(_grams(F.col("text")), bloom))
-                .alias("gram"))
+        flagged.filter(F.col("in_canon")
+                       & (F.col("doc_id") % BENCH_MOD != 0))
+        .select("doc_id", F.explode(_grams(F.col("text"))).alias("gram"))
         .join(F.broadcast(bench_grams), "gram")
         .select("doc_id").distinct()
         .withColumn("is_dirty", F.lit(True))

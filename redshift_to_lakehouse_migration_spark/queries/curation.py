@@ -54,7 +54,7 @@ def _gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def contamination_check(spark: SparkSession, sf_dir: str,
-                        bloom_fpp: float | None = 0.01) -> DataFrame:
+                        bloom_fpp: float | None = None) -> DataFrame:
     """Per-document benchmark contamination: distinct grams, grams shared
     with the benchmark set, and the contaminated flag.
 
@@ -65,16 +65,22 @@ def contamination_check(spark: SparkSession, sf_dir: str,
     scanned twice (totals + hits), which at 100 TB beats shuffling an
     exploded gram stream three times.
 
-    ``bloom_fpp``: a broadcast Bloom filter over the benchmark grams
-    pre-filters each corpus gram ARRAY before the explode, so only
-    candidate grams (true matches + an fpp sliver) ever become rows —
-    the corpus-side fan-out that dominated `corpus_prep_pipeline`
-    (46–50% of wall time, CHANGES_r5 §6) collapses to the match set.
-    Recall-preserving, hence result-identical to ``bloom_fpp=None``
-    (no false negatives; see llm/bloom.py and tests/test_bloom.py).
-    Building it adds one small benchmark-side pass (~1/BENCH_MOD of
-    the corpus) — at 100 TB the eval side is fixed-size while the
-    avoided explode scales with the corpus."""
+    ``bloom_fpp``: optionally pre-filter each corpus gram ARRAY before
+    the explode with a broadcast Bloom filter over the benchmark grams
+    (recall-preserving, hence result-identical; llm/bloom.py,
+    tests/test_bloom.py). Default OFF — measured at sf0.1 AND sf1.0,
+    the filter is neutral-to-negative here (r6: 2.9s vs 1.9s at sf0.1,
+    7.5s vs 7.6s at sf1.0) because this corpus's benchmark gram set is
+    tiny (31-word vocabulary -> ~29k distinct grams at sf1.0) and the
+    broadcast hash join already drops non-matching grams map-side at
+    about the cost of a bloom probe, while the build adds ~1s of fixed
+    bench-side work. The filter's real regime is a decontamination
+    list too large to broadcast (~>100 MB hash table: full benchmark
+    suites + web-overlap lists at 100 TB) where the exact join
+    degrades to shuffling every exploded corpus gram; the bloom bits
+    stay ~30x smaller than the list and keep the join input to
+    candidates only — measured 2.1x on a 2M-gram list vs 40M corpus
+    gram rows in tools/bloom_crossover_probe.py."""
     base = _gram_arrays(spark, sf_dir)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_grams = (base.filter(is_bench)
@@ -82,6 +88,12 @@ def contamination_check(spark: SparkSession, sf_dir: str,
     corpus = base.filter(~is_bench)
     hits_src, grams_col = corpus, F.col("grams")
     if bloom_fpp is not None:
+        # Materialize the (small) benchmark gram set ONCE: the bloom
+        # build's two actions and the exact join all read the compact
+        # checkpoint instead of re-deriving grams from the corpus scan
+        # 3x (measured: the recomputation, not the explode, was the
+        # bloom path's overhead at bench scale).
+        bench_grams = bench_grams.localCheckpoint(eager=True)
         bloom = build_gram_bloom(bench_grams, fpp=bloom_fpp)
         hits_src = with_bloom_bits(corpus, spark, bloom)
         grams_col = bloom_filter_grams(grams_col, bloom)

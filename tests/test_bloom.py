@@ -102,9 +102,10 @@ def test_array_filter_matches_row_filter(spark):
 
 def test_contamination_check_bloom_identical(spark, sf_dir):
     """The headline guarantee: `contamination_check` with the Bloom
-    pre-filter is row-for-row identical to the unfiltered plan."""
-    with_bloom = contamination_check(spark, sf_dir).collect()
-    without = contamination_check(spark, sf_dir, bloom_fpp=None).collect()
+    pre-filter is row-for-row identical to the unfiltered (default)
+    plan."""
+    with_bloom = contamination_check(spark, sf_dir, bloom_fpp=0.01).collect()
+    without = contamination_check(spark, sf_dir).collect()
     assert with_bloom == without
     # sanity: the check finds real contamination at this SF
     assert any(r["contaminated"] for r in with_bloom)
@@ -113,8 +114,8 @@ def test_contamination_check_bloom_identical(spark, sf_dir):
 def test_stage_decontaminate_bloom_identical(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     canon = stage_exact_dedup(stage_gate(stage_raw(docs)))
-    a = stage_decontaminate(canon, stage_raw(docs))
-    b = stage_decontaminate(canon, stage_raw(docs), bloom_fpp=None)
+    a = stage_decontaminate(canon, stage_raw(docs), bloom_fpp=0.01)
+    b = stage_decontaminate(canon, stage_raw(docs))
     assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in b.select("doc_id").collect())
 
