@@ -19,17 +19,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .aggspec import (
+    AggSpec,
+    check_decomposable,
+    finalize_avg_pairs,
+    partial_columns,
+    recombine_columns,
+)
+
 _GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
 
-AggSpec = dict[str, tuple[str, str]]   # name -> (source col | "*", fn)
+__all__ = ["AggSpec", "time_rollup", "reroll", "finalize"]
 
 
 def _check(aggs: AggSpec) -> None:
-    for name, (_, fn) in aggs.items():
-        if fn not in ("sum", "count", "min", "max", "avg"):
-            raise ValueError(
-                f"{name}: {fn!r} does not survive re-aggregation "
-                f"(holistic aggs need the raw data)")
+    check_decomposable(
+        aggs, "does not survive re-aggregation "
+              "(holistic aggs need the raw data)")
 
 
 def time_rollup(df: DataFrame, ts_col: str, grain: str,
@@ -39,16 +45,7 @@ def time_rollup(df: DataFrame, ts_col: str, grain: str,
     if grain not in _GRAINS:
         raise ValueError(f"grain must be one of {_GRAINS}: {grain}")
     _check(aggs)
-    cols: dict[str, Column] = {}
-    for name, (src, fn) in aggs.items():
-        c = F.col(src) if src != "*" else None
-        if fn == "count":
-            cols[name] = F.count("*") if src == "*" else F.count(c)
-        elif fn == "avg":
-            cols[f"{name}__s"] = F.sum(c)
-            cols[f"{name}__c"] = F.count(c)
-        else:
-            cols[name] = getattr(F, fn)(c)
+    cols = partial_columns(aggs)
     return (df.groupBy(F.date_trunc(grain, F.col(ts_col))
                        .alias("bucket_ts"), *keys)
             .agg(*[c.alias(n) for n, c in cols.items()]))
@@ -82,15 +79,8 @@ def reroll(partials: DataFrame, grain: str, keys: list[str],
                 "(a week straddles month/quarter/year boundaries) — "
                 "re-roll from day or finer instead")
     _check(aggs)
-    cols: list[Column] = []
-    for name, (_, fn) in aggs.items():
-        if fn in ("sum", "count"):
-            cols.append(F.sum(name).alias(name))
-        elif fn == "avg":
-            cols.append(F.sum(f"{name}__s").alias(f"{name}__s"))
-            cols.append(F.sum(f"{name}__c").alias(f"{name}__c"))
-        else:
-            cols.append(getattr(F, fn)(name).alias(name))
+    # finalize_avg=False: output schema == input schema, so rollups chain
+    cols = recombine_columns(aggs, finalize_avg=False)
     return (partials.groupBy(F.date_trunc(grain, F.col("bucket_ts"))
                              .alias("bucket_ts"), *keys)
             .agg(*cols))
@@ -98,10 +88,4 @@ def reroll(partials: DataFrame, grain: str, keys: list[str],
 
 def finalize(partials: DataFrame, aggs: AggSpec) -> DataFrame:
     """Resolve avg partial pairs into the final mean column (read-time)."""
-    out = partials
-    for name, (_, fn) in aggs.items():
-        if fn == "avg":
-            out = (out.withColumn(
-                name, F.col(f"{name}__s") / F.col(f"{name}__c"))
-                .drop(f"{name}__s", f"{name}__c"))
-    return out
+    return finalize_avg_pairs(partials, aggs)

@@ -28,8 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# final-stage recombiner per decomposable aggregate
-_DECOMPOSABLE = {"sum", "count", "min", "max"}
+from .aggspec import check_decomposable, partial_columns, recombine_columns
 
 
 def add_salt(df: DataFrame, n_salts: int,
@@ -56,39 +55,18 @@ def salted_groupby(df: DataFrame, keys: list[str], n_salts: int,
     Stage 1 groups on (keys, salt) — hot keys split n_salts ways; stage 2
     groups on keys alone over at most ``n_salts × |groups|`` rows.
     """
-    for name, (_, fn) in aggs.items():
-        if fn not in _DECOMPOSABLE | {"avg"}:
-            raise ValueError(
-                f"{name}: {fn!r} is not decomposable; salting would change "
-                f"semantics (use the direct groupBy for holistic aggs)")
+    check_decomposable(
+        aggs, "is not decomposable; salting would change "
+              "semantics (use the direct groupBy for holistic aggs)")
 
     # avg decomposes into sum + count combined in the final stage
-    partial_cols: dict[str, Column] = {}
-    for name, (src, fn) in aggs.items():
-        c = F.col(src) if isinstance(src, str) and src != "*" else src
-        if fn == "count":
-            partial_cols[name] = (F.count("*") if src == "*"
-                                  else F.count(c))
-        elif fn == "avg":
-            partial_cols[f"{name}__s"] = F.sum(c)
-            partial_cols[f"{name}__c"] = F.count(c)
-        else:
-            partial_cols[name] = getattr(F, fn)(c)
-
+    partial_cols = partial_columns(aggs)
     salted = add_salt(df, n_salts, salt_from=None)
     stage1 = salted.groupBy(*keys, "__salt").agg(
         *[c.alias(n) for n, c in partial_cols.items()])
-
-    final_cols: list[Column] = []
-    for name, (_, fn) in aggs.items():
-        if fn in ("sum", "count"):
-            final_cols.append(F.sum(name).alias(name))
-        elif fn == "avg":
-            final_cols.append(
-                (F.sum(f"{name}__s") / F.sum(f"{name}__c")).alias(name))
-        else:                                   # min / max re-apply
-            final_cols.append(getattr(F, fn)(name).alias(name))
-    return stage1.groupBy(*keys).agg(*final_cols)
+    # finalize_avg=True: nothing chains past the second stage
+    return stage1.groupBy(*keys).agg(
+        *recombine_columns(aggs, finalize_avg=True))
 
 
 _SALT_SAFE_JOINS = {"inner", "left", "left_outer", "leftouter",
