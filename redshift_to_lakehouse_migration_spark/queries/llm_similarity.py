@@ -63,7 +63,12 @@ def _bucket_sql(emb: str) -> str:
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for probe vectors (vec_id % 50 = 0)."""
+    """Exact cosine top-5 neighbors for probe vectors (vec_id % 50 = 0).
+
+    Scale rule: cost is corpus x probes with the probe set broadcast —
+    exact search stays viable only while |probes| is broadcast-sized;
+    past that, switch to the IVF/PQ entries (this entry is their recall
+    baseline, not the scale path)."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     probes = e.filter(F.col("vec_id") % 50 == 0)
     topk = sim.cosine_topk(e, probes, "vec_id", "embedding", k=5)
@@ -74,7 +79,12 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucket assignment (8 fixed hyperplanes → 256 buckets)."""
+    """Sign-LSH bucket assignment (8 fixed hyperplanes → 256 buckets).
+
+    Scale rule (knob: plane count): expected bucket size is N/2^planes —
+    add one hyperplane per corpus doubling to hold bucket size (and the
+    downstream within-bucket join cost) constant; recall per plane is
+    then governed by the angle distribution, measured in SCALE.md."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     return e.select(
         "vec_id", "label",
@@ -92,7 +102,13 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap as the corpus scales — the oracle-checked wrapper must carry
     exact bucket semantics. The capped path stays the library default and
     is covered by the pathological-star and recall-bound tests in
-    tests/test_dedup.py."""
+    tests/test_dedup.py.
+
+    Scale rule (knobs: plane count, bucket_cap): hold expected bucket
+    size N/2^planes by adding a plane per corpus doubling; with the
+    capped library path, the r5-measured floor applies (single-band
+    mixed-bucket cluster-recall 1/3 under the cap — SCALE.md) and
+    multi-band OR-construction is the recall lever, not a bigger cap."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     assigned = sim.lsh_assign(e, "vec_id", "embedding", PROJECTIONS)
     return sim.topk_within_buckets(assigned, k=3, bucket_cap=None)
@@ -101,7 +117,18 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: deterministic coarse centroids (vec_id % 64 = 0, ~sqrt(N) lists),
     nearest-centroid inverted lists, multi-probe (nprobe=2) search with
-    exact cosine re-rank confined to the probed lists."""
+    exact cosine re-rank confined to the probed lists.
+
+    Scale rule (knob: nprobe) — from the r5-measured envelope (SCALE.md
+    "Recall vs the nprobe knob"): recall on weak-structure corpora
+    tracks the SCANNED FRACTION nprobe/nlist, not nprobe itself (fixed
+    nprobe=2 gives set-recall 0.245 at sf0.1's 31 lists but decays to
+    0.163 at sf1.0's 312 lists; the 2/4/8/16 ladder buys
+    0.245/0.405/0.605/0.830 at sf0.1). As nlist grows ~sqrt(N), grow
+    nprobe proportionally to hold the target fraction — cost then grows
+    linearly with the corpus, the floor for unstructured geometry. This
+    registered entry keeps the cheap fixed nprobe=2 because the driver
+    gate checks algorithm ≡ oracle, not retrieval quality."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     centroids = e.filter(F.col("vec_id") % 64 == 0)
     lists = sim.ivf_assign(e, centroids, "vec_id", "embedding",
@@ -125,7 +152,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucket_cap=None`` for oracle exactness — same reasoning as
     :func:`knn_lsh_bucketed`: the DuckDB oracle is uncapped all-pairs
     within buckets, so the wrapper must be too; the capped star path
-    remains the scale-facing library default."""
+    remains the scale-facing library default.
+
+    Scale rule (knobs: plane count, bucket_cap, threshold): hold bucket
+    size N/2^planes by adding a plane per corpus doubling — the
+    within-bucket pair join is quadratic in bucket size, so bucket
+    growth, not corpus growth, is what breaks this plan; the capped
+    library default bounds the worst bucket at B·(cap−1) star edges."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     assigned = sim.lsh_assign(e, "vec_id", "embedding", PROJECTIONS)
     return sim.cosine_near_pairs(assigned, threshold=0.35, bucket_cap=None)
@@ -214,7 +247,13 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probe-side distance table broadcast, candidate distance = sum of 4
     code lookups). Rows-only (float sums + iterative training are not
     portable SQL); tests/test_pq.py asserts quantization-error descent,
-    code validity, and above-chance recall vs the exact baseline."""
+    code validity, and above-chance recall vs the exact baseline.
+
+    Scale rule (knobs: M subspaces, K codewords): each vector ships M
+    bytes regardless of corpus size; recall is bought with M·log2(K)
+    bits per vector (raise M — cost linear in M — before K, whose
+    distance table grows M×K per probe), and the recall@10 ≥ 0.9 gate
+    in tests/test_pq.py is the regression pin for any re-tune."""
     from ..llm import pq
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     sub, codebook, codes = _pq_codebook(e)
@@ -228,7 +267,12 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set (compute), PQ codes carry the distances (memory).
     Candidates from a centroid-equality join with multi-probe (nprobe=2);
     ADC ranks them via the broadcast probe distance table. The corpus
-    ships one row of M byte-codes per vector — never a float vector."""
+    ships one row of M byte-codes per vector — never a float vector.
+
+    Scale rule: nprobe follows `knn_ivf`'s measured envelope (hold the
+    scanned FRACTION nprobe/nlist as nlist grows ~sqrt(N) — SCALE.md);
+    the PQ knobs follow `knn_pq_adc` (recall bought with M·log2(K) bits
+    per vector, M before K)."""
     from ..llm import pq
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     lists, _probe_vecs, probe_lists = _ivf_lists(e)
@@ -245,7 +289,13 @@ def knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     only those few rows join back their float vectors for an exact cosine
     top-5. The corpus-wide work never touches a float vector; the refine
     join is candidate-sized. Recovers the ADC quantization loss (recall
-    gate in tests/test_pq.py). Rows-only like the other PQ entries."""
+    gate in tests/test_pq.py). Rows-only like the other PQ entries.
+
+    Scale rule: nprobe per `knn_ivf`'s envelope (hold scanned fraction),
+    M/K per `knn_pq_adc`; the over-fetch factor (10·k here) trades one
+    candidate-sized exact join for the last few recall points and stays
+    CONSTANT as the corpus grows — refine cost is probes x 10k rows,
+    independent of N."""
     from ..llm import pq
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     lists, probe_vecs, probe_lists = _ivf_lists(e)
