@@ -39,11 +39,16 @@ def build_medallion_pipeline(spark: SparkSession, raw_dir: str | Path,
             # must get a NEW batch id (max+1), or the appended duplicates
             # would be indistinguishable from the first batch and
             # impossible to roll back. First run stays deterministic (1).
+            # Only a MISSING path may mean "first run": a readable-but-
+            # corrupt or schema-drifted bronze dir must propagate, not
+            # silently restart at batch 1 and append ambiguity (ADVICE r5).
             try:
                 prev = s.read.parquet(path) \
                     .agg(F.max("_batch_id")).collect()[0][0]
                 next_id = int(prev) + 1 if prev is not None else 1
-            except AnalysisException:
+            except AnalysisException as e:
+                if e.getCondition() != "PATH_NOT_FOUND":
+                    raise
                 next_id = 1
             bronze.ingest_batch(s, str(raw_dir / f"raw_{table}.csv"),
                                 schema, path, batch_id=next_id)

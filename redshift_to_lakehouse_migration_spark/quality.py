@@ -209,31 +209,42 @@ def quarantine(df: DataFrame, checks: list[Check]
 
 
 def _orphans(df: DataFrame, column: str, ref_df: DataFrame,
-             ref_column: str) -> DataFrame:
+             ref_column: str, broadcast_ref: bool = True) -> DataFrame:
     """Fact rows whose key is absent from the reference side (the plan
     behind :func:`check_relationships`; split out so tests can assert the
-    broadcast anti-join shape)."""
+    broadcast anti-join shape).
+
+    ``broadcast_ref=False`` keeps the shuffled anti-join (ADVICE r5): an
+    unconditional hint would collect a fact-sized reference to the
+    driver and can OOM instead of degrading gracefully."""
+    keys = ref_df.select(F.col(ref_column).alias(column)).distinct()
+    if broadcast_ref:
+        keys = F.broadcast(keys)
     return (
         df.filter(F.col(column).isNotNull())
-        .join(F.broadcast(
-            ref_df.select(F.col(ref_column).alias(column)).distinct()),
-              on=column, how="left_anti")
+        .join(keys, on=column, how="left_anti")
     )
 
 
 def check_relationships(df: DataFrame, column: str, ref_df: DataFrame,
                         ref_column: str,
-                        table_name: str | None = None) -> CheckResult:
+                        table_name: str | None = None,
+                        broadcast_ref: bool = True) -> CheckResult:
     """Referential integrity via broadcast LEFT ANTI join
     (`data_quality_checks.py:67-79`). One job; the reference side is
-    explicitly broadcast — its post-distinct size is opaque to the
-    auto-broadcast estimator, and a referential dimension is
+    explicitly broadcast by default — its post-distinct size is opaque to
+    the auto-broadcast estimator, and a referential dimension is
     dimension-sized by definition, so without the hint the anti-join can
-    degrade to a full shuffle of the fact side. NULL fact keys are
-    excluded (dbt relationships-test semantics; the reference's raw
+    degrade to a full shuffle of the fact side. Pass
+    ``broadcast_ref=False`` when checking against a reference that is
+    NOT dimension-sized (e.g. RI against another fact table): the
+    shuffled anti-join is the graceful fallback there, where a forced
+    broadcast would collect the reference to the driver. NULL fact keys
+    are excluded (dbt relationships-test semantics; the reference's raw
     left_anti would count them as orphans, but it pairs the check with
     check_not_null on key columns)."""
-    n = _orphans(df, column, ref_df, ref_column).count()
+    n = _orphans(df, column, ref_df, ref_column,
+                 broadcast_ref=broadcast_ref).count()
     return CheckResult(
         check_name=f"relationships_{column}", table_name=table_name,
         column_name=column, passed=n == 0, failed_count=n, total_count=None,

@@ -215,6 +215,29 @@ def test_bronze_rerun_gets_fresh_batch_id(spark, tmp_path):
     assert ids == [1, 2]
 
 
+def test_bronze_rerun_schema_drift_propagates(spark, tmp_path):
+    """A readable bronze dir WITHOUT _batch_id (schema drift / foreign
+    data) must raise, not silently restart at batch 1 and append the
+    ambiguity the max+1 probe exists to prevent (ADVICE r5: only
+    PATH_NOT_FOUND means first run)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from redshift_to_lakehouse_migration_spark.datagen import generate
+    from redshift_to_lakehouse_migration_spark.medallion.flow import (
+        build_medallion_pipeline,
+    )
+
+    raw = tmp_path / "raw"
+    generate(str(raw), n_policies=20, seed=3, dirty=False)
+    wh = tmp_path / "wh"
+    # pre-existing bronze_policies dir that is valid parquet but not ours
+    spark.range(5).write.parquet(str(wh / "bronze_policies"))
+    with pytest.raises(AnalysisException):
+        build_medallion_pipeline(spark, str(raw), str(wh),
+                                 "2024-06-01").run()
+
+
 def test_fact_claims_null_approved_amount_reference_semantics(spark):
     """Reference parity (`fact_claims.py:55-56`): the cap applies to
     CLAIM amount; a NULL approved_amount yields a NULL payout — never a

@@ -143,3 +143,25 @@ def test_relationships_ref_side_broadcast(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_relationships_shuffled_fallback_for_big_refs(spark):
+    """broadcast_ref=False keeps the shuffled anti-join — the graceful
+    path when the reference is NOT dimension-sized (ADVICE r5: a forced
+    broadcast of a fact-sized ref collects it to the driver)."""
+    child = spark.createDataFrame([("C1", "P1")],
+                                  "claim_id string, policy_id string")
+    parent = spark.createDataFrame([("P1",)], "policy_id string")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orphans = q._orphans(child, "policy_id", parent, "policy_id",
+                             broadcast_ref=False)
+        plan = orphans._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastHashJoin" not in plan and "LeftAnti" in plan
+    # and the result is the same empty orphan set
+    assert orphans.count() == 0
+    r = q.check_relationships(child, "policy_id", parent, "policy_id",
+                              broadcast_ref=False)
+    assert r.passed
