@@ -16,7 +16,7 @@ coarse ≡ direct GROUP BY on raw.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .aggspec import (
