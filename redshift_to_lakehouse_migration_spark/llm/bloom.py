@@ -94,8 +94,8 @@ def build_gram_bloom(grams: DataFrame, gram_col: str = "gram",
 
     Triggers two actions on the gram side — a count for sizing and the
     bit_or word aggregation — both bounded by the benchmark set, never
-    the corpus. The collected word list is ≤ num_bits/64 entries
-    (~190 KiB per million grams at fpp=0.01)."""
+    the corpus. The collected word list is ≤ num_bits/64 entries —
+    ~150k words (~1.2 MiB packed) per million grams at fpp=0.01."""
     n = grams.count()
     num_bits, num_hashes = bloom_params(n, fpp)
     words = [0] * (num_bits // 64)

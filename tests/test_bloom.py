@@ -9,7 +9,6 @@ import pyspark.sql.functions as F
 import pytest
 
 from redshift_to_lakehouse_migration_spark.llm.bloom import (
-    GramBloom,
     bloom_filter_grams,
     bloom_params,
     build_gram_bloom,
