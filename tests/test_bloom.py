@@ -6,7 +6,6 @@ probed with the same position formula has no false negatives."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-import pytest
 
 from redshift_to_lakehouse_migration_spark.llm.bloom import (
     bloom_filter_grams,
