@@ -334,7 +334,15 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
         got = obs.get
         stats.append((STAGES.index(stage), stage,
                       got["docs"], got["tokens"]))
-        return spark.read.parquet(f"{out_dir}/{path}")
+        # spread the read-back: AQE coalesces small join outputs to ONE
+        # parquet file (measured: the canonical stage), which would
+        # serialize every downstream stage's per-row expression work
+        # (the decon gram build above all) onto one core — the r5
+        # instrumentation blamed "decontamination 46-50%" on exactly
+        # this. spread() is a no-op at cluster scale (CHANGES_r6 §8:
+        # stage 4.8 s -> ~1 s, pipeline ~20 s -> ~13 s at sf0.1).
+        from ..tables import spread
+        return spread(spark.read.parquet(f"{out_dir}/{path}"), spark)
 
     raw = write_stage(stage_raw(docs), "raw", "raw")
     gated = write_stage(stage_gate(raw), "gated", "gated")
@@ -347,7 +355,8 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
     timed("shingle_blocks",
           lambda: build_shingle_blocks(exact).write.mode("overwrite")
           .parquet(f"{out_dir}/shingle_blocks"))
-    shb = spark.read.parquet(f"{out_dir}/shingle_blocks")
+    from ..tables import spread as _spread
+    shb = _spread(spark.read.parquet(f"{out_dir}/shingle_blocks"), spark)
 
     canon = write_stage(stage_near_dup_canonical(exact, shingle_blocks=shb),
                         "canonical", "near_dup_canonical")
