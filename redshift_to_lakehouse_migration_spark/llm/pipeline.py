@@ -306,9 +306,13 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
     written tables would re-scan every stage (six more corpus-sized passes
     at 100 TB).
 
-    ``timings``: pass a dict to receive per-stage wall seconds (each
-    stage's plan execution + parquet write), keyed by stage artifact name
-    — the observability hook a production run records next to row counts.
+    ``timings``: pass a dict to receive per-stage wall seconds (plan
+    CONSTRUCTION + execution + parquet write — construction is lazy for
+    every stage except near_dup_canonical, whose connected-components
+    step eagerly checkpoints the pair graph; timing only the write hid
+    that cost outside the table and overstated every other stage's
+    share, r6), keyed by stage artifact name — the observability hook a
+    production run records next to row counts.
     """
     import time
 
@@ -323,14 +327,17 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
             timings[key] = round(time.perf_counter() - t0, 3)
         return out
 
-    def write_stage(df: DataFrame, path: str, stage: str) -> DataFrame:
+    def write_stage(make_df, path: str, stage: str) -> DataFrame:
         obs = Observation(f"corpus_{stage}")
-        observed = df.observe(
-            obs, F.count(F.lit(1)).cast("long").alias("docs"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
-            .alias("tokens"))
-        timed(path, lambda: observed.write.mode("overwrite")
-              .parquet(f"{out_dir}/{path}"))
+
+        def construct_and_write():
+            observed = make_df().observe(
+                obs, F.count(F.lit(1)).cast("long").alias("docs"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
+                .alias("tokens"))
+            observed.write.mode("overwrite").parquet(f"{out_dir}/{path}")
+
+        timed(path, construct_and_write)
         got = obs.get
         stats.append((STAGES.index(stage), stage,
                       got["docs"], got["tokens"]))
@@ -344,9 +351,9 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
         from ..tables import spread
         return spread(spark.read.parquet(f"{out_dir}/{path}"), spark)
 
-    raw = write_stage(stage_raw(docs), "raw", "raw")
-    gated = write_stage(stage_gate(raw), "gated", "gated")
-    exact = write_stage(stage_exact_dedup(gated), "exact_dedup",
+    raw = write_stage(lambda: stage_raw(docs), "raw", "raw")
+    gated = write_stage(lambda: stage_gate(raw), "gated", "gated")
+    exact = write_stage(lambda: stage_exact_dedup(gated), "exact_dedup",
                         "exact_dedup")
 
     # Materialize the near-dup signature table ONCE; the pair join and the
@@ -358,15 +365,16 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame,
     from ..tables import spread as _spread
     shb = _spread(spark.read.parquet(f"{out_dir}/shingle_blocks"), spark)
 
-    canon = write_stage(stage_near_dup_canonical(exact, shingle_blocks=shb),
-                        "canonical", "near_dup_canonical")
+    canon = write_stage(
+        lambda: stage_near_dup_canonical(exact, shingle_blocks=shb),
+        "canonical", "near_dup_canonical")
 
     # `raw` (parquet-backed) has the same benchmark gram set as `docs`:
     # the filtered-out empty/whitespace docs contribute no NGRAM_N-grams.
     # Reading it avoids one more scan of the source corpus.
-    clean = write_stage(stage_decontaminate(canon, raw), "decontaminated",
-                        "decontaminated")
-    sampled = write_stage(stage_sample(clean), "sampled", "sampled")
+    clean = write_stage(lambda: stage_decontaminate(canon, raw),
+                        "decontaminated", "decontaminated")
+    sampled = write_stage(lambda: stage_sample(clean), "sampled", "sampled")
 
     timed("packed_bins",
           lambda: stage_pack(sampled).write.mode("overwrite")
