@@ -12,7 +12,7 @@ equivalents provided here:
   co-located joins skip the shuffle entirely (the Spark analog of
   Redshift DISTKEY, `MIGRATION_PLAYBOOK.md:37`). Both sides bucketed on
   the same key × bucket count → sort-merge join with NO exchange;
-  `tests/test_bucketing.py` asserts the exchange-free plan.
+  `tests/test_maintenance.py` asserts the exchange-free plan.
 """
 
 from __future__ import annotations
