@@ -12,7 +12,9 @@ same Python classes for every column type the surface uses (date,
 datetime, Decimal, bool, int, float, str, bytes, list), so tagging is
 parity-neutral — asserted by the full suite staying green.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--vanilla] [sf_dir] [query ...]
+  --vanilla: bare SparkSession (no engine confs), mirroring the external
+  driver's own session — catches engine-conf-dependent results.
 """
 
 from __future__ import annotations
@@ -28,8 +30,14 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+# --vanilla: run under a bare SparkSession (no engine confs) — the
+# external driver builds its OWN session, so a query whose result
+# depended on any engine conf would pass the default replica yet fail
+# the driver; this flag is the parity check (r6: 98/98).
+_args = [a for a in sys.argv[1:] if a != "--vanilla"]
+VANILLA = "--vanilla" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 
 def norm_cell(v):
@@ -87,7 +95,12 @@ def main():
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         return 2
 
-    spark = get_spark("check_correctness")
+    if VANILLA:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .appName("check_correctness_vanilla").getOrCreate())
+    else:
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
