@@ -79,8 +79,11 @@ def reroll(partials: DataFrame, grain: str, keys: list[str],
                 "(a week straddles month/quarter/year boundaries) — "
                 "re-roll from day or finer instead")
     _check(aggs)
-    # finalize_avg=False: output schema == input schema, so rollups chain
-    cols = recombine_columns(aggs, finalize_avg=False)
+    # finalize_avg=False: output schema == input schema, so rollups
+    # chain; the schema makes that hold for DECIMALs too (cast-back of
+    # the widened re-sum, see aggspec.recombine_columns)
+    cols = recombine_columns(aggs, finalize_avg=False,
+                             partial_schema=partials.schema)
     return (partials.groupBy(F.date_trunc(grain, F.col("bucket_ts"))
                              .alias("bucket_ts"), *keys)
             .agg(*cols))

@@ -64,9 +64,11 @@ def salted_groupby(df: DataFrame, keys: list[str], n_salts: int,
     salted = add_salt(df, n_salts, salt_from=None)
     stage1 = salted.groupBy(*keys, "__salt").agg(
         *[c.alias(n) for n, c in partial_cols.items()])
-    # finalize_avg=True: nothing chains past the second stage
+    # finalize_avg=True: nothing chains past the second stage; the
+    # partial schema lets DECIMAL means land on native-avg dtype
     return stage1.groupBy(*keys).agg(
-        *recombine_columns(aggs, finalize_avg=True))
+        *recombine_columns(aggs, finalize_avg=True,
+                           partial_schema=stage1.schema))
 
 
 _SALT_SAFE_JOINS = {"inner", "left", "left_outer", "leftouter",

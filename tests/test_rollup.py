@@ -80,3 +80,49 @@ def test_reroll_rejects_misaligned_grain_paths(spark):
     # valid nested path still works
     assert reroll(partials, "day", ["k"], spec,
                   from_grain="hour").count() == 1
+
+
+def test_rollup_chain_null_measures_match_direct(spark):
+    """NULL measures must survive the partial → reroll → finalize chain
+    with direct-groupBy semantics: an all-NULL (day, key) bucket yields
+    NULL sum/avg after re-rolling from hourly partials, never 0."""
+    from pyspark.sql import functions as F
+    rows = [
+        ("2024-03-01 10:15:00", "k1", None), ("2024-03-01 11:00:00", "k1", 4.0),
+        ("2024-03-01 09:30:00", "k2", None), ("2024-03-01 18:00:00", "k2", None),
+        ("2024-03-02 00:00:01", "k1", 2.0),
+    ]
+    raw = spark.createDataFrame(rows, "ts_s string, k string, v double") \
+        .select(F.col("ts_s").cast("timestamp").alias("ts"), "k", "v")
+    spec = {"n": ("*", "count"), "nv": ("v", "count"),
+            "s": ("v", "sum"), "m": ("v", "avg")}
+    hourly = time_rollup(raw, "ts", "hour", ["k"], spec)
+    daily = finalize(reroll(hourly, "day", ["k"], spec, from_grain="hour"),
+                     spec)
+    direct = raw.groupBy(F.date_trunc("day", "ts").alias("bucket_ts"), "k") \
+        .agg(F.count("*").alias("n"), F.count("v").alias("nv"),
+             F.sum("v").alias("s"), F.avg("v").alias("m"))
+    assert sorted(map(tuple, daily.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    k2 = [r for r in daily.collect() if r["k"] == "k2"][0]
+    assert k2["s"] is None and k2["m"] is None and k2["nv"] == 0
+
+
+def test_finalize_decimal_avg_dtype_matches_direct(spark):
+    """Same dtype pin for the rollup chain: finalize() must emit DECIMAL
+    means on native-avg dtype, reconstructed from the partial sum."""
+    from pyspark.sql import functions as F
+    rows = [("2024-03-01 10:15:00", "k1", "1.23"),
+            ("2024-03-01 11:45:00", "k1", "2.47")]
+    raw = spark.createDataFrame(rows, "ts_s string, k string, v_s string") \
+        .select(F.col("ts_s").cast("timestamp").alias("ts"), "k",
+                F.col("v_s").cast("decimal(12,2)").alias("v"))
+    spec = {"m": ("v", "avg")}
+    daily = finalize(
+        reroll(time_rollup(raw, "ts", "hour", ["k"], spec),
+               "day", ["k"], spec, from_grain="hour"), spec)
+    direct = raw.groupBy(F.date_trunc("day", "ts").alias("bucket_ts"), "k") \
+        .agg(F.avg("v").alias("m"))
+    assert daily.schema["m"].dataType == direct.schema["m"].dataType
+    assert sorted(map(tuple, daily.collect())) == \
+        sorted(map(tuple, direct.collect()))

@@ -59,3 +59,44 @@ def test_salted_join_matches_direct(spark, skewed):
     s = salted.groupBy("k").count().collect()
     d = dict((r.k, r["count"]) for r in direct.groupBy("k").count().collect())
     assert {r.k: r["count"] for r in s} == d
+
+
+def test_salted_groupby_null_measures_match_direct(spark):
+    """NULL measures through the two-stage decomposition (aggspec.py)
+    must match the direct groupBy exactly: per-stage sum/min/max skip
+    NULLs, count(col) skips them while count(*) does not, and an
+    all-NULL group must yield NULL sums/mins/avgs — not 0."""
+    rows = [
+        ("a", None, None), ("a", 2.0, 5), ("a", None, 7),
+        ("b", None, None), ("b", None, None),      # all-NULL group
+        ("c", 1.5, 1),
+    ] * 50                                          # spread across salts
+    df = spark.createDataFrame(rows, "k string, v double, n long")
+    salted = salted_groupby(
+        df, ["k"], 8,
+        rows_all=("*", "count"), vals=("v", "count"), total=("n", "sum"),
+        lo=("v", "min"), hi=("v", "max"), mean=("v", "avg"))
+    direct = df.groupBy("k").agg(
+        F.count("*").alias("rows_all"), F.count("v").alias("vals"),
+        F.sum("n").alias("total"), F.min("v").alias("lo"),
+        F.max("v").alias("hi"), F.avg("v").alias("mean"))
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    b = {r["k"]: r for r in salted.collect()}["b"]
+    assert b["total"] is None and b["mean"] is None and b["vals"] == 0
+
+
+def test_salted_groupby_decimal_avg_dtype_matches_direct(spark):
+    """DECIMAL means through the pair decomposition must land on the
+    dtype native avg produces — the raw sum/count quotient's wider
+    division type is numerically equal but its trailing-zero string
+    form would flip an oracle value hash (aggspec._native_avg_type)."""
+    df = spark.createDataFrame(
+        [("a", "1.23"), ("a", "2.47"), ("b", "9.99")],
+        "k string, v_s string").select(
+        "k", F.col("v_s").cast("decimal(12,2)").alias("v"))
+    direct = df.groupBy("k").agg(F.avg("v").alias("mean"))
+    salted = salted_groupby(df, ["k"], 4, mean=("v", "avg"))
+    assert salted.schema["mean"].dataType == direct.schema["mean"].dataType
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, direct.collect()))
