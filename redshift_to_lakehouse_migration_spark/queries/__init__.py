@@ -109,26 +109,27 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_error_after_click",
     # flagship re-proof
     "fact_lineitem",
-    # curation / corpus (trim-last + bloom pre-filter this round)
-    "contamination_check",
-    "corpus_funnel",
-    # dedup family (trim-last, rebanded SimHash, uncapped cosine)
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    # ANN family (uncapped wrappers r5) — most expensive last
-    "ann_lsh_buckets",
+    # dedup / ANN / curation tail, ascending by measured r6 bench cost
+    # (BENCH run C, sf0.1) so a driver timeout drops the most expensive
+    # entries first — corpus_funnel (eager components, the heaviest by
+    # 1.7x) runs dead last
     "knn_bruteforce",
+    "dedup_embedding_cosine",
+    "ann_lsh_buckets",
+    "dedup_simhash",
     "knn_ivf",
     "knn_lsh_bucketed",
     "corpus_prep",
-    "knn_pq_adc",
+    "dedup_ngram_jaccard",
+    "contamination_check",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
     "kmeans_clusters",
+    "knn_pq_adc",
+    "dedup_clusters",
     "knn_ivfpq",
     "knn_ivfpq_refined",
+    "corpus_funnel",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
