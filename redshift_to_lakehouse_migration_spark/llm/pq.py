@@ -163,12 +163,13 @@ def refine_topk(candidates: DataFrame, corpus: DataFrame, probes: DataFrame,
     pvec = probes.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("__q_emb"))
 
-    # the ONE canonical fold (similarity.dot/norm): the fold order is
-    # pinned for oracle parity, so it must not fork per module
-    from .similarity import dot as _dot
-    from .similarity import norm as _norm
-    sim = _dot(F.col("__q_emb"), F.col("__n_emb")) / (
-        _norm(F.col("__q_emb")) * _norm(F.col("__n_emb")))
+    # the ONE canonical cosine (similarity.cosine): the fold order is
+    # pinned for oracle parity, so it must not fork per module — and the
+    # zero-norm/NaN totality guard must hold here exactly as in the
+    # bucket/IVF paths (a hostile full-precision vector reaches this
+    # re-rank via its quantized code).
+    from .similarity import cosine as _cosine
+    sim = _cosine(F.col("__q_emb"), F.col("__n_emb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     w = W.partitionBy("query_id").orderBy(
@@ -178,6 +179,7 @@ def refine_topk(candidates: DataFrame, corpus: DataFrame, probes: DataFrame,
         .join(cvec, "neighbor_id")
         .join(F.broadcast(pvec), "query_id")
         .select("query_id", "neighbor_id", sim.alias("sim"))
+        .filter(F.col("sim").isNotNull())  # undefined sim → no candidate
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -68,7 +68,25 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, total over hostile vectors: NULL (never an error,
+    never NaN) when undefined, so one bad embedding in 100 TB cannot abort
+    the job or hijack a ranking.
+
+    - Zero-norm vector (failed encoder output, padding row): the division
+      is undefined → ``try_divide`` yields NULL instead of raising
+      DIVIDE_BY_ZERO under ANSI. This is also exactly what plain ``/``
+      returns under non-ANSI Spark AND what DuckDB returns for double
+      division by zero — so the guard *unifies* the three regimes.
+    - NaN/Inf component: the fold propagates NaN (inf·0, inf−inf, nan+x),
+      and Spark orders NaN ABOVE every real number — an unguarded NaN sim
+      would rank #1 for every probe in its bucket. ``nanvl`` maps it to
+      NULL, which orders LAST under ``desc`` and fails every threshold.
+
+    Ranking/threshold consumers drop NULL sims explicitly, so undefined
+    similarity yields no candidate row rather than an arbitrary one.
+    """
+    raw = F.try_divide(dot(a, b), norm(a) * norm(b))
+    return F.nanvl(raw, F.lit(None).cast("double"))
 
 
 def make_projections(n_planes: int, dim: int,
@@ -109,6 +127,7 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, id_col: str,
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neighbor_id"),
                 sim.alias("sim"))
+        .filter(F.col("sim").isNotNull())  # undefined sim → no candidate
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -220,6 +239,7 @@ def ivf_topk(corpus_assigned: DataFrame, probes_assigned: DataFrame, k: int,
         .select(F.col("q.query_id").alias("query_id"),
                 F.col("c.vec_id").alias("neighbor_id"),
                 sim.alias("sim"))
+        .filter(F.col("sim").isNotNull())  # undefined sim → no candidate
         .groupBy("query_id", "neighbor_id")  # probed lists may overlap
         .agg(F.max("sim").alias("sim"))
         .withColumn("rank", F.row_number().over(w))
@@ -263,6 +283,7 @@ def topk_within_buckets(assigned: DataFrame, k: int,
     return (
         directed.select("query_id", "neighbor_id", "bucket_id",
                         sim.alias("sim"))
+        .filter(F.col("sim").isNotNull())  # undefined sim → no candidate
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
