@@ -37,10 +37,18 @@ def split_subvectors(vecs: DataFrame, id_col: str, vec_col: str,
             f"dim={dim} is not divisible by m={m}: the trailing "
             f"{dim % m} dimensions would be silently discarded")
     width = dim // m
+    # A row whose array length != dim violates the declared geometry:
+    # slice() would silently truncate it into narrower (but plausible)
+    # subvectors that bias per-dim training counts and produce garbage
+    # distances. Emit NULL subvecs instead — excluded from training by
+    # the finiteness filter, assigned a deterministic tie-break code by
+    # encode (which stays total), and dropped by the exact refine stage.
+    conform = F.size(F.col(vec_col)) == dim
     parts = F.array(*[
         F.struct(F.lit(j).alias("subspace"),
-                 F.slice(F.col(vec_col), j * width + 1, width)
-                 .cast("array<double>").alias("subvec"))
+                 F.when(conform,
+                        F.slice(F.col(vec_col), j * width + 1, width)
+                        .cast("array<double>")).alias("subvec"))
         for j in range(m)
     ])
     return (vecs.select(F.col(id_col).alias("vec_id"),
@@ -49,8 +57,16 @@ def split_subvectors(vecs: DataFrame, id_col: str, vec_col: str,
 
 
 def _l2sq(a, b) -> F.Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                       F.lit(0.0), lambda acc, v: acc + v)
+    """Squared L2, total over hostile inputs: NULL (never NaN) when any
+    component is NaN/Inf or the arrays are NULL/ragged. This matters for
+    the argmin encoding below — Spark's `max` orders NaN ABOVE every
+    double, so an unguarded NaN distance (one corrupt centroid or
+    subvector) would WIN the argmin for every vector in its subspace;
+    NULL instead loses to any finite distance (struct comparison is
+    nulls-smallest under max)."""
+    raw = F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return F.nanvl(raw, F.lit(None).cast("double"))
 
 
 def assign_codes(sub: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -87,11 +103,29 @@ def _update_codebook(assigned: DataFrame) -> DataFrame:
 
 def train_codebook(sub: DataFrame, init: DataFrame,
                    iters: int = 2) -> DataFrame:
-    """Per-subspace Lloyd iterations. ``init``: (subspace, code, centroid)."""
+    """Per-subspace Lloyd iterations. ``init``: (subspace, code, centroid).
+
+    Subvectors with NULL/NaN/Inf components are excluded from TRAINING —
+    one NaN component would turn its (subspace, code) centroid NaN via
+    the per-dim sum, and with NaN ordering above every double that
+    poisoned centroid would then win the argmin for EVERY vector in the
+    subspace next iteration: total codebook collapse from a single
+    corrupt row. The exclusion is per-SUBVECTOR, not per-row: PQ trains
+    M independent quantizers, so a row with one corrupt component still
+    contributes its well-formed subvectors to their own subspaces (a
+    zero subvector is likewise valid Euclidean data and trains
+    normally). `encode` stays total (every row still gets a code).
+    The exclusion filters the ASSIGNMENT output, not the input: only the
+    codebook update can be poisoned, and post-aggregate the subvec is a
+    concrete array, so the predicate evaluates once per row instead of
+    inlining its fold into the slice expressions (see kmeans_fit)."""
+    from .similarity import is_finite_vector
     codebook = init
     for _ in range(iters):
         assigned = assign_codes(sub, codebook)
-        codebook = _update_codebook(assigned).localCheckpoint(eager=False)
+        codebook = _update_codebook(
+            assigned.filter(is_finite_vector(F.col("subvec")))
+        ).localCheckpoint(eager=False)
     return codebook
 
 
@@ -137,6 +171,11 @@ def adc_topk_within_lists(codes: DataFrame, corpus_lists: DataFrame,
         .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
+        # a fully-degenerate probe (every subspace distance NULL) sums to
+        # NULL, which sorts FIRST ascending — drop it rather than let it
+        # fabricate rank 1; a partially-degenerate probe ranks uniformly
+        # on its remaining finite subspaces (sum skips NULL).
+        .filter(F.col("adc_dist").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -208,6 +247,7 @@ def adc_topk(codes: DataFrame, probes_sub: DataFrame,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
+        .filter(F.col("adc_dist").isNotNull())  # see adc_topk_within_lists
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -89,6 +89,29 @@ def cosine(a: Column, b: Column) -> Column:
     return F.nanvl(raw, F.lit(None).cast("double"))
 
 
+def is_finite_vector(vec: Column, min_norm: float | None = None) -> Column:
+    """True iff ``vec`` is a well-formed embedding: non-NULL, non-empty,
+    every element present and finite (no NULL/NaN/±Inf). With
+    ``min_norm``, additionally requires ``norm(vec) > min_norm`` —
+    ``min_norm=0.0`` excludes zero vectors, whose direction (all the
+    cosine paths care about) is undefined.
+
+    This is the TRAINING-side filter: iterative fitters (k-means, PQ
+    codebooks) must exclude degenerate rows or one NaN component poisons
+    its cluster's centroid via the partial sums and cascades. Query-side
+    operators stay total instead (hostile rows score NULL and drop)."""
+    finite = vec.isNotNull() & (F.size(vec) > 0) & F.forall(
+        vec, lambda x: x.isNotNull() & ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) != F.lit(float("inf"))))
+    if min_norm is not None:
+        # no ordering guarantee on SQL AND, so this must be safe on
+        # degenerate vectors too: norm() yields NaN/NULL there, the
+        # comparison yields true/NULL, and `finite` is already false —
+        # false AND x is false for every x including NULL.
+        finite = finite & (norm(vec) > F.lit(min_norm))
+    return finite
+
+
 def make_projections(n_planes: int, dim: int,
                      seed: int = 7) -> list[list[float]]:
     rng = random.Random(seed)

@@ -168,6 +168,178 @@ def test_refine_topk_hostile(corpus, probe, ansi_on):
     assert min(out, key=lambda r: r.rank).neighbor_id == 2
 
 
+def _sorted_rows(df):
+    return sorted(
+        [tuple(r) for r in df.collect()],
+        key=lambda t: tuple(repr(x) for x in t))
+
+
+class TestTrainingHostility:
+    """The ITERATIVE fitters (k-means, PQ codebooks) are where hostile
+    rows do the most damage: a NaN component poisons its cluster's
+    per-dim sum → the centroid goes NaN → (for PQ's argmin, where NaN
+    orders above every double) the poisoned centroid WINS every
+    assignment next iteration — total collapse from one corrupt row.
+    Contract pinned here: training EXCLUDES degenerate rows (fit on
+    hostile ∪ finite ≡ fit on finite, exactly), while assignment/encode
+    stay total and deterministic."""
+
+    DIM, M = 4, 2
+
+    @pytest.fixture(scope="class")
+    def vecs(self, ansi_on):
+        finite = [
+            (1, [1.0, 0.0, 0.1, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.1]),
+            (3, [0.0, 1.0, 0.0, 0.2]),
+            (4, [0.1, 0.9, 0.1, 0.0]),
+            (5, [0.0, 0.1, 1.0, 0.0]),
+            (6, [0.1, 0.0, 0.9, 0.1]),
+        ]
+        hostile = [
+            (100, [0.0, 0.0, 0.0, 0.0]),
+            (101, [NAN, 1.0, 0.0, 0.0]),
+            (102, [INF, 1.0, 0.0, 0.0]),
+            (103, [1.0]),                     # ragged
+            (104, None),                      # NULL embedding
+            (105, [1.0, None, 0.0, 0.0]),     # NULL element
+        ]
+        mk = lambda rows: ansi_on.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        return mk(finite), mk(finite + hostile)
+
+    def test_kmeans_fit_ignores_hostile_rows(self, vecs):
+        from redshift_to_lakehouse_migration_spark.llm import kmeans as km
+        finite, mixed = vecs
+        init = (km.normalize_corpus(finite, "vec_id", "embedding")
+                .filter(F.col("vec_id").isin(1, 3, 5))
+                .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+        fit = lambda c: _sorted_rows(km.kmeans_fit(
+            km.normalize_corpus(c, "vec_id", "embedding"), init, iters=2))
+        got, want = fit(mixed), fit(finite)
+        assert got == want
+        for _, emb in got:
+            assert all(x is not None and math.isfinite(x) for x in emb)
+
+    def test_kmeans_nan_init_centroid_attracts_nothing(self, vecs):
+        """A corrupt INIT centroid (hostile row sampled as a seed) must
+        not crash or skew training: its sims are NULL, it never wins an
+        assignment, and the update drops it — fit(init ∪ {NaN centroid})
+        ≡ fit(init)."""
+        from redshift_to_lakehouse_migration_spark.llm import kmeans as km
+        finite, _ = vecs
+        corpus = km.normalize_corpus(finite, "vec_id", "embedding")
+        init = (corpus.filter(F.col("vec_id").isin(1, 3))
+                .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+        bad = init.sparkSession.createDataFrame(
+            [(99, [NAN, 0.0, 0.0, 0.0])],
+            "centroid_id long, embedding array<double>")
+        assert (_sorted_rows(km.kmeans_fit(corpus, init.union(bad), iters=2))
+                == _sorted_rows(km.kmeans_fit(corpus, init, iters=2)))
+
+    def test_kmeans_objective_finite_on_hostile_corpus(self, vecs):
+        from redshift_to_lakehouse_migration_spark.llm import kmeans as km
+        finite, mixed = vecs
+        corpus = km.normalize_corpus(mixed, "vec_id", "embedding")
+        init = (km.normalize_corpus(finite, "vec_id", "embedding")
+                .filter(F.col("vec_id").isin(1, 3, 5))
+                .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+        obj = km.kmeans_objective(corpus, km.kmeans_fit(corpus, init,
+                                                        iters=1))
+        assert math.isfinite(obj), obj
+
+    def _sub_and_init(self, df):
+        sub = pq.split_subvectors(df, "vec_id", "embedding",
+                                  self.M, self.DIM)
+        from pyspark.sql import Window as W
+        init = (sub.filter(F.col("vec_id").isin(1, 3, 5))
+                .select("subspace",
+                        (F.row_number().over(
+                            W.partitionBy("subspace").orderBy("vec_id"))
+                         - 1).alias("code"),
+                        F.col("subvec").alias("centroid")))
+        return sub, init
+
+    def test_train_codebook_ignores_hostile_subvectors(self, vecs):
+        """Per-SUBVECTOR exclusion: PQ's M quantizers are independent,
+        so the mixed corpus trains exactly like the finite rows PLUS the
+        hostile rows' well-formed subvectors — vec 100's zero subvecs
+        (valid Euclidean data) and the clean subspace-1 halves of vecs
+        101/102/105 (whose corruption lives entirely in subspace 0).
+        Everything NaN/Inf/NULL/ragged contributes nothing."""
+        finite, mixed = vecs
+        _, init = self._sub_and_init(finite)
+        sub_m, _ = self._sub_and_init(mixed)
+        want_sub = self._sub_and_init(
+            finite.sparkSession.createDataFrame(
+                [(100, [0.0, 0.0, 0.0, 0.0])],
+                "vec_id long, embedding array<double>")
+            .union(finite))[0].union(
+            finite.sparkSession.createDataFrame(
+                [(v, 1, [0.0, 0.0]) for v in (101, 102, 105)],
+                "vec_id long, subspace int, subvec array<double>"))
+        got = _sorted_rows(pq.train_codebook(sub_m, init, iters=2))
+        want = _sorted_rows(pq.train_codebook(want_sub, init, iters=2))
+        assert got == want
+        for _, _, cent in got:
+            assert all(x is not None and math.isfinite(x) for x in cent)
+
+    def test_train_codebook_survives_nan_init_centroid(self, vecs):
+        """Pre-guard, a NaN centroid's NaN distance won the argmin for
+        EVERY subvector in its subspace (NaN > all doubles under max) —
+        one corrupt seed collapsed the codebook. Now it attracts
+        nothing and vanishes."""
+        finite, _ = vecs
+        sub, init = self._sub_and_init(finite)
+        bad = sub.sparkSession.createDataFrame(
+            [(0, 99, [NAN, 0.0])], "subspace int, code int, "
+            "centroid array<double>")
+        got = _sorted_rows(pq.train_codebook(sub, init.union(bad), iters=1))
+        assert got == _sorted_rows(pq.train_codebook(sub, init, iters=1))
+
+    def test_encode_total_and_deterministic_on_hostile(self, vecs):
+        _, mixed = vecs
+        sub, init = self._sub_and_init(mixed)
+        cb = pq.train_codebook(sub, init, iters=1)
+        a = {r.vec_id: r.codes for r in pq.encode(sub, cb).collect()}
+        b = {r.vec_id: r.codes for r in pq.encode(sub, cb).collect()}
+        assert a == b
+        assert set(a) == {1, 2, 3, 4, 5, 6, 100, 101, 102, 103, 104, 105}
+        assert all(len(c) == self.M and all(x is not None for x in c)
+                   for c in a.values())
+
+    def test_split_subvectors_ragged_is_null_not_truncated(self, ansi_on):
+        """A row whose length != dim must not silently truncate into
+        narrower-but-plausible subvectors (which would bias per-dim
+        training counts); it becomes NULL subvecs."""
+        df = ansi_on.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0]), (3, None)],
+            "vec_id long, embedding array<double>")
+        rows = {(r.vec_id, r.subspace): r.subvec
+                for r in pq.split_subvectors(
+                    df, "vec_id", "embedding", self.M, self.DIM).collect()}
+        assert rows[(1, 0)] == [1.0, 2.0] and rows[(1, 1)] == [3.0, 4.0]
+        for vid in (2, 3):
+            assert rows[(vid, 0)] is None and rows[(vid, 1)] is None
+
+    def test_adc_hostile_probe_yields_no_rows(self, vecs):
+        finite, mixed = vecs
+        sub_f, init = self._sub_and_init(finite)
+        cb = pq.train_codebook(sub_f, init, iters=1)
+        codes = pq.encode(sub_f, cb)
+        probes = mixed.filter(F.col("vec_id").isin(1, 103, 104))
+        psub = pq.split_subvectors(probes, "vec_id", "embedding",
+                                   self.M, self.DIM)
+        out = pq.adc_topk(codes, psub, cb, k=3).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        # finite probe ranks finite corpus; fully-degenerate probes
+        # (NULL-subvec distance table) fabricate no rank-1 rows
+        assert set(by_q) == {1}
+        assert all(r.adc_dist is not None for r in by_q[1])
+
+
 def test_ragged_dim_is_null_not_garbage(ansi_on):
     """zip_with pads the shorter array with NULL → the fold returns NULL →
     the pair is absent from results. Pinned so a future fold rewrite
