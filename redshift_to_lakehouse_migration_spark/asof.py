@@ -41,11 +41,23 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
     ``prefix``-renamed. ``tolerance`` is a bound in SECONDS (a numeric
     literal or numeric Column — the match age is computed as a double of
     epoch seconds, so an INTERVAL column is not accepted); matches
-    older/newer than the bound null out."""
+    older/newer than the bound null out.
+
+    NULL semantics match an SQL join's, not the window's: a right row
+    with NULL ``ts_col`` or a NULL ``by`` key can never be a match
+    (without this, NULL ts sorts FIRST under the ascending union window,
+    so one corrupt "unknown-time" right row would become the backward
+    match for every left row predating the first real right row), and a
+    left row with NULL ``ts_col`` or a NULL ``by`` key keeps its row but
+    matches nothing — NULL never equals NULL."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
 
     payload_cols = [c for c in right.columns if c not in by]
+    joinable = F.col(ts_col).isNotNull()
+    for k in by:
+        joinable = joinable & F.col(k).isNotNull()
+    right = right.filter(joinable)
     r = right.select(
         *by,
         F.col(ts_col).alias("__ts"),
@@ -77,7 +89,10 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
             .rowsBetween(0, W.unboundedFollowing)
         carried = F.first("__r", ignorenulls=True).over(frame)
 
-    out = (unioned.withColumn("__match", carried)
+    # a left row with NULL ts or a NULL by key keeps its row but matches
+    # nothing (the window would otherwise group NULL by-keys together
+    # and hand NULL-ts left rows whatever sorts adjacent to them)
+    out = (unioned.withColumn("__match", F.when(joinable, carried))
            .filter(F.col("__tag") == 1))
     if tolerance is not None:
         age = (F.col("__ts").cast("double")

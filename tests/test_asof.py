@@ -55,6 +55,39 @@ def test_tolerance_nulls_stale_matches(spark, frames):
     assert out[2].m_tag == "b"            # age 0
 
 
+def test_null_ts_right_row_is_never_a_match(spark):
+    """NULL ts sorts FIRST under the ascending union window — unguarded,
+    a corrupt 'unknown-time' right row becomes the backward match for
+    every left row predating the first real right row, and the first-
+    right-row 'forward' match for NULL-ts left rows."""
+    left = spark.createDataFrame(
+        [(1, "u", 50.0), (2, "u", 150.0)], "lid long, u string, lts double")
+    right = spark.createDataFrame(
+        [("u", None, "corrupt"), ("u", 100.0, "real")],
+        "u string, lts double, tag string")
+    for direction, want in (("backward", {1: None, 2: "real"}),
+                            ("forward", {1: "real", 2: None})):
+        out = {r.lid: r.m_tag for r in asof_join(
+            left, right, by=["u"], ts_col="lts", direction=direction,
+            prefix="m_").collect()}
+        assert out == want, (direction, out)
+
+
+def test_null_keys_and_ts_match_nothing_but_keep_left_rows(spark):
+    """SQL join semantics, not window-NULL-grouping semantics: NULL by
+    keys never equal each other, NULL left ts matches nothing — and the
+    left row always survives (as-of is a left enrichment)."""
+    left = spark.createDataFrame(
+        [(1, None, 100.0), (2, "u", None), (3, "u", 100.0)],
+        "lid long, u string, lts double")
+    right = spark.createDataFrame(
+        [(None, 90.0, "nullkey"), ("u", 90.0, "real")],
+        "u string, lts double, tag string")
+    out = {r.lid: r.m_tag for r in asof_join(
+        left, right, by=["u"], ts_col="lts", prefix="m_").collect()}
+    assert out == {1: None, 2: None, 3: "real"}
+
+
 def test_tie_break_deterministic(spark):
     left = spark.createDataFrame([(1, "u", 10.0)], "lid long, u string, lts double")
     right = spark.createDataFrame(
