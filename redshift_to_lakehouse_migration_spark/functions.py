@@ -27,6 +27,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
+# Expression-level let binding
+# ---------------------------------------------------------------------------
+
+def bind(col: Column, f) -> Column:
+    """Evaluate ``col`` exactly ONCE per row and pass the bound value to
+    ``f`` (a lambda-variable Column function), i.e. an expression-level
+    ``let``.
+
+    Why this exists: a higher-order function evaluates its CHILD arrays
+    once, but any subexpression CAPTURED inside its lambda re-evaluates
+    on every element — and HOFs run interpreted (no codegen, no
+    common-subexpression elimination), so
+    ``transform(sequence(1, n), i -> f(slice(toks, i, k)))`` recomputes
+    ``toks`` (a full split+regex over the document) for every index:
+    O(tokens x doc_bytes) per row, a quadratic blowup that a multi-MB
+    document turns into minutes of CPU for ONE row. Wrapping the
+    expensive expression as the child of a single-element ``transform``
+    makes it a bound lambda variable instead:
+    ``transform(array(toks), t -> f(t))[0]`` — structural, independent
+    of optimizer heuristics like CollapseProject's inlining rules.
+    """
+    return F.transform(F.array(col), f).getItem(0)
+
+
+# ---------------------------------------------------------------------------
 # String normalization
 # ---------------------------------------------------------------------------
 

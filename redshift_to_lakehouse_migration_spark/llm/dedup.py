@@ -75,13 +75,17 @@ def ws_token_count(text: str | Column) -> Column:
 
 def shingles(docs: DataFrame, id_col: str, norm_col: str,
              k: int = 3) -> DataFrame:
-    """id → distinct k-token shingles (distributed explode)."""
-    toks = docs.withColumn("__toks", F.split(norm_col, " "))
-    sh = F.expr(
-        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(__toks, i, {k})))"
-    )
-    return toks.select(F.col(id_col).alias("doc_id"),
+    """id → distinct k-token shingles (distributed explode).
+
+    The token array is bound as a lambda VARIABLE (``functions.bind``) —
+    a captured ``__toks`` column risks being inlined back into the
+    lambda by projection collapsing, where it would re-split the whole
+    document per shingle index (quadratic in document size)."""
+    from ..functions import bind
+    sh = bind(F.split(norm_col, " "), lambda t: F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k))))
+    return docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(F.array_distinct(sh)).alias("shingle"))
 
 

@@ -30,11 +30,16 @@ def l2_normalize(vec: F.Column) -> F.Column:
     """Unit-normalize an array<float/double> column (zero vectors pass
     through unchanged to avoid div-by-zero). Uses the canonical
     similarity.norm fold — same left-to-right double fold the oracle
-    parity contract pins."""
+    parity contract pins.
+
+    The norm is bound as a lambda VARIABLE (``functions.bind``): captured
+    inside the division transform it would re-run the whole O(d) fold for
+    every element — O(d²) per row on the corpus-wide normalize path."""
+    from ..functions import bind
     from .similarity import norm as _norm
-    norm = _norm(vec)
-    return F.when(norm == 0, vec.cast("array<double>")).otherwise(
-        F.transform(vec, lambda x: x.cast("double") / norm))
+    return bind(vec.cast("array<double>"), lambda v: bind(
+        _norm(v), lambda n: F.when(n == 0, v).otherwise(
+            F.transform(v, lambda x: x / n))))
 
 
 def normalize_corpus(corpus: DataFrame, id_col: str,

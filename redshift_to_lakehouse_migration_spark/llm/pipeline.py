@@ -115,14 +115,18 @@ def _grams(text_col: F.Column) -> F.Column:
     # Tokens via the trim-LAST norm (see dedup.norm_text): one regex
     # rewrite + a literal-space split, and no phantom empty tokens at the
     # edges when text carries leading/trailing non-space whitespace.
+    # bind: the token array must be a lambda VARIABLE, not a captured
+    # subexpression — captures re-evaluate the whole split+regex per gram
+    # index (O(tokens x doc_bytes) per row; see functions.bind)
+    from ..functions import bind
     toks = F.split(norm_text(text_col), " ")
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
-    ))
-    # total on short docs: sequence(1, n<1) would run DESCENDING in Spark
-    return F.when(F.size(toks) >= NGRAM_N, grams) \
-        .otherwise(F.array().cast("array<string>"))
+    return bind(toks, lambda t: F.when(
+        # total on short docs: sequence(1, n<1) would run DESCENDING
+        F.size(t) >= NGRAM_N,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(t) - (NGRAM_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, NGRAM_N)),
+        ))).otherwise(F.array().cast("array<string>")))
 
 
 def bench_gram_set(docs: DataFrame) -> DataFrame:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import bind
 from ..llm.bloom import bloom_filter_grams, build_gram_bloom, with_bloom_bits
 from ..llm.dedup import norm_text
 from ..tables import load, spread
@@ -43,10 +44,12 @@ def _gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_text_parity.py."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     toks = F.split(norm_text(F.col("text")), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
-    )
+    # bind: tokens as a lambda VARIABLE, not a lambda capture — captures
+    # re-evaluate the split+regex per gram index (functions.bind)
+    grams = bind(toks, lambda t: F.transform(
+        F.sequence(F.lit(1), F.size(t) - (NGRAM_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, NGRAM_N)),
+    ))
     return (
         d.filter(F.size(toks) >= NGRAM_N)
         .select("doc_id", "lang", F.array_distinct(grams).alias("grams"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import bind
 from ..llm.dedup import norm_text, ws_token_count
 from ..tables import load, spread
 
@@ -388,15 +389,22 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"), spark)
     norm = norm_text(F.col("text"))
     toks = F.split(norm, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    # bind: tokens (and then the gram array) as lambda VARIABLES — a
+    # lambda capture re-evaluates the whole split+regex per gram index
+    # (functions.bind), and binding the grams lets total/distinct share
+    # one construction instead of two
+    gram_stats = bind(toks, lambda t: bind(
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, 2))),
+        lambda g: F.struct(
+            F.size(g).cast("long").alias("total"),
+            F.size(F.array_distinct(g)).cast("long").alias("distinct"))))
     per_doc = (
         d.filter(F.size(toks) >= 2)
+        .select("doc_id", "lang", gram_stats.alias("__gs"))
         .select("doc_id", "lang",
-                F.size(grams).cast("long").alias("total_2grams"),
-                F.size(F.array_distinct(grams)).cast("long")
-                .alias("distinct_2grams"))
+                F.col("__gs.total").alias("total_2grams"),
+                F.col("__gs.distinct").alias("distinct_2grams"))
     )
     dup = F.col("total_2grams") - F.col("distinct_2grams")
     return per_doc.select(
