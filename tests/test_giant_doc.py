@@ -117,3 +117,22 @@ def test_exact_dedup_no_false_groups_on_giants(spark, sf_dir):
     assert len(out) == 4                  # empty doc filtered, rest distinct
     assert all(r["member_count"] == 1 and not r["has_duplicates"]
                for r in out)
+
+
+def test_minhash_and_simhash_complete_without_false_pairs(spark, sf_dir):
+    """The shingle/signature paths explode 384k shingles for the giant
+    doc — linear rows, bounded per-row arrays. The five docs share no
+    real similarity, so no pair may surface."""
+    assert QUERIES["dedup_minhash_lsh"](spark, sf_dir).count() == 0
+    assert QUERIES["dedup_simhash_pairs"](spark, sf_dir).count() == 0
+
+
+def test_contamination_and_corpus_prep_complete(spark, sf_dir):
+    """End-to-end curation over the giants: the 5-gram builders and the
+    benchmark join stay linear per row. doc_id 97 % BENCH_MOD != 0 for
+    all five docs, so nothing is benchmark-member and nothing can be
+    contaminated."""
+    cont = QUERIES["contamination_check"](spark, sf_dir).collect()
+    assert all(not r["contaminated"] for r in cont)
+    prep = QUERIES["corpus_prep"](spark, sf_dir)
+    assert prep.count() >= 1              # summary rows exist
