@@ -96,14 +96,17 @@ def kmeans_fit(corpus: DataFrame, init_centroids: DataFrame,
     degenerate rows stays total anyway (`ivf_assign` gives every row a
     deterministic centroid) — only the fitted geometry ignores them."""
     from .similarity import is_finite_vector
+    centroids = init_centroids.select(
+        F.col(init_centroids.columns[0]).alias("centroid_id"), "embedding")
     first = init_centroids.select(
         F.size(init_centroids.columns[1]).alias("d")).first()
     if first is None:
-        raise ValueError("init_centroids is empty: nothing to train")
+        # empty init (e.g. an empty corpus seeded the centroids): nothing
+        # to train — return the empty centroid frame, matching the
+        # engine-wide empty-input contract (tests/test_empty_inputs.py)
+        return centroids
     trainable = (is_finite_vector(F.col("embedding"), min_norm=0.0)
                  & (F.size("embedding") == F.lit(first.d)))
-    centroids = init_centroids.select(
-        F.col(init_centroids.columns[0]).alias("centroid_id"), "embedding")
     for _ in range(iters):
         assigned = ivf_assign(corpus, centroids, "vec_id", "embedding",
                               "centroid_id", "embedding", nprobe=1)
