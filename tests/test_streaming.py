@@ -101,6 +101,41 @@ def test_windowed_aggs_streaming_vs_batch(spark, tmp_path):
     assert s_rows == b_rows and len(s_rows) > 0
 
 
+def test_null_event_time_drops_identically_in_stream_and_batch(
+        spark, tmp_path):
+    """A NULL event time (corrupt producer row) is dropped by `window()`
+    in BOTH modes — the generator yields nothing for NULL, so no
+    NULL-window group forms in batch and no state forms in streaming.
+    Pinned so a future refactor (e.g. coalescing ts into a default)
+    cannot silently fork stream from batch on hostile rows; upstream DQ
+    owns NULL-ts detection."""
+    rows = [(1, "click", 1.0, "2024-01-01 10:05:00"),
+            (2, "click", 2.0, None),
+            (3, "view", 3.0, "2024-01-01 10:40:00")]
+    events = (spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts_s string")
+        .select("event_id", "event_type", "value",
+                F.col("ts_s").cast("timestamp").alias("ts")))
+    batch = sorted((str(r.window_start), r.event_type, r.event_count)
+                   for r in windows.hourly_event_counts(events).collect())
+    assert batch == [("2024-01-01 10:00:00", "click", 1),
+                     ("2024-01-01 10:00:00", "view", 1)]  # row 2 dropped
+
+    events.write.mode("overwrite").parquet(str(tmp_path / "pq"))
+    src = spark.readStream.schema(events.schema).parquet(
+        str(tmp_path / "pq"))
+    q = (windows.hourly_event_counts(src)
+         .writeStream.format("memory").queryName("null_ts_test")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted(
+        (str(r.window_start), r.event_type, r.event_count)
+        for r in spark.sql("SELECT * FROM null_ts_test").collect())
+    assert streamed == batch
+
+
 def test_session_windows_batch_equivalence(spark):
     events = load(spark, SF, "events")
     sessions = windows.user_sessions(events)
