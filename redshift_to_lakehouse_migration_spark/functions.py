@@ -52,6 +52,41 @@ def bind(col: Column, f) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Timestamp output contract
+# ---------------------------------------------------------------------------
+
+def utc_ntz(df):
+    """Cast every top-level TIMESTAMP (LTZ) output column to TIMESTAMP_NTZ,
+    fixing the engine's output contract: timestamps leave a query as UTC
+    wall-clock values, invariant under the HOST timezone.
+
+    Why this exists: PySpark ``collect()`` converts an LTZ timestamp to a
+    Python datetime through the driver process's LOCAL timezone
+    (``datetime.fromtimestamp``) — the session-TZ pin in ``tables.load``
+    does not reach that path — while the DuckDB oracle returns naive UTC
+    wall-clock values regardless of host TZ. Under a non-UTC host every
+    timestamp-returning oracle query would therefore hash-mismatch.
+    NTZ collects without local conversion, and the LTZ→NTZ cast renders
+    through the session TZ (pinned UTC), so under a UTC host the values
+    are bit-identical to the uncast form — proven by the replica staying
+    98/98 — and under any other host TZ they no longer shift
+    (tests/test_tz_invariance.py pins both directions).
+
+    Applied at the query-WRAPPER level only: internal operators keep LTZ
+    (``unix_micros`` and friends reject NTZ), streaming paths are
+    untouched, and the cast is expression-level (no plan-metric change).
+    """
+    from pyspark.sql.types import StructField, TimestampType
+
+    ltz = [f.name for f in df.schema.fields
+           if isinstance(f, StructField)
+           and isinstance(f.dataType, TimestampType)]
+    for name in ltz:
+        df = df.withColumn(name, F.col(name).cast("timestamp_ntz"))
+    return df
+
+
+# ---------------------------------------------------------------------------
 # String normalization
 # ---------------------------------------------------------------------------
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import count_if, davg, davg_sql, dsum, dsum_sql
+from ..functions import count_if, davg, davg_sql, dsum, dsum_sql, utc_ntz
 from ..tables import load
 
 SESSION_GAP_MIN = 30
@@ -32,7 +32,7 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate per event type (ST-extension; the
     streaming twin adds withWatermark over the same expression)."""
     e = load(spark, sf_dir, "events")
-    return (
+    return utc_ntz(
         e.groupBy(
             F.window("ts", "1 hour").alias("w"),
             F.col("event_type"),
@@ -56,7 +56,7 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user via
     ``F.session_window`` — the engine's stateful-session capability."""
     e = load(spark, sf_dir, "events")
-    return (
+    return utc_ntz(
         e.groupBy(
             F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("s"),
             F.col("user_id"),
@@ -188,7 +188,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 h length / 30 min slide): every event counts in
     exactly 2 windows; epoch-aligned identically in Spark and the oracle."""
     e = load(spark, sf_dir, "events")
-    return (
+    return utc_ntz(
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
                   F.col("event_type"))
         .agg(F.count("*").alias("event_count"),
@@ -277,11 +277,11 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("event_id").alias("purchase_id")))
     out = asof_join(clicks, purchases, by=["user_id"], ts_col="ts",
                     tie_break="purchase_id", prefix="p_")
-    return out.select(
+    return utc_ntz(out.select(
         "event_id", "ts", "user_id", "click_value",
         F.col("p_ts").alias("last_purchase_ts"),
         F.col("p_value").alias("last_purchase_value"),
-    )
+    ))
 
 
 QUERIES["events_asof_purchase"] = events_asof_purchase
@@ -324,11 +324,11 @@ def events_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = range_join_binned(clicks, errors, by=["user_id"],
                             left_ts="click_ts", right_ts="error_ts",
                             lower=0.0, upper=7200.0)
-    return out.select(
+    return utc_ntz(out.select(
         "user_id", "click_id", "error_id", "click_ts", "error_ts",
         (F.unix_micros("error_ts") - F.unix_micros("click_ts"))
         .alias("gap_us"),
-    )
+    ))
 
 
 QUERIES["events_error_after_click"] = events_error_after_click
@@ -364,14 +364,14 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         reroll(hourly, "day", ["event_type"], spec, from_grain="hour"),
         spec)
     # avg finalized in double (dsum/count) to match the davg convention
-    return daily.select(
+    return utc_ntz(daily.select(
         F.col("bucket_ts").alias("day"),
         "event_type", "event_count",
         F.col("total_value").cast("double").alias("total_value"),
         "min_value", "max_value",
         (F.col("total_value").cast("double") / F.col("event_count"))
         .alias("avg_value"),
-    ).orderBy("day", "event_type")
+    ).orderBy("day", "event_type"))
 
 
 QUERIES["events_daily_from_hourly"] = events_daily_from_hourly
@@ -414,7 +414,7 @@ def events_daily_unique_users_hll(spark: SparkSession,
              F.hll_sketch_estimate(F.hll_union_agg("user_sketch"))
              .alias("approx_users"))
     )
-    return per_day.unionByName(month).orderBy("day", "n_events")
+    return utc_ntz(per_day.unionByName(month).orderBy("day", "n_events"))
 
 
 QUERIES["events_daily_unique_users_hll"] = events_daily_unique_users_hll
@@ -663,7 +663,7 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("q"))
     dev = F.col("n") * F.col("x") - F.col("s")
     var_term = 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-    return (
+    return utc_ntz(
         daily.join(F.broadcast(moments), "event_type")
         .filter((dev > 0) & (dev * dev > var_term))
         .select("event_type", "day", F.col("x").alias("event_count"),

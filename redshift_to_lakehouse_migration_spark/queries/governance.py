@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import utc_ntz
 from ..tables import load
 
 
@@ -36,7 +37,7 @@ def audit_object_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-object access audit: who touched which object how often
     (reference `governance/audit_queries.sql:9-28`). One hash aggregate."""
     log = _audit_log(spark, sf_dir)
-    return (
+    return utc_ntz(
         log.groupBy("object_id", "action")
         .agg(
             F.count("*").alias("access_count"),
@@ -55,7 +56,7 @@ def audit_principal_last7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — so the plan is scan → broadcast-filter → one hash aggregate."""
     log = _audit_log(spark, sf_dir)
     hwm = log.agg(F.max("ts").alias("max_ts"))
-    return (
+    return utc_ntz(
         log.crossJoin(F.broadcast(hwm))
         .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 7 DAYS"))
         .groupBy("principal_id")
