@@ -28,16 +28,43 @@ def add_metadata_columns(df: DataFrame,
 
 
 def read_csv(spark: SparkSession, source_path: str,
-             schema: T.StructType) -> DataFrame:
+             schema: T.StructType, rfc4180: bool = False) -> DataFrame:
     """CSV scan with explicit schema, header, no inference (S1,
-    `bronze/ingest_policies.py:76-81`)."""
-    return (
+    `bronze/ingest_policies.py:76-81`), and — unlike the reference —
+    corrupt-row ACCOUNTING: PERMISSIVE mode alone silently nulls the
+    fields of a malformed row (a type-mismatched id, a short row, the
+    shards of an unsupported quoted newline), making bad input
+    indistinguishable from legitimately-NULL data. With the
+    ``_corrupt_record`` column each such row carries its raw line
+    instead, so callers can quarantine-split exactly like the
+    `read_jsonl` flow.
+
+    ``rfc4180=True`` switches the quote-escape dialect: Spark's default
+    escape is backslash, so an RFC-4180 file (doubled ``""`` inside
+    quoted fields — Excel, most warehouse UNLOADs) parses the quotes
+    literally into the value; ``escape='"'`` restores standard CSV
+    semantics. Per-file dialect, caller-declared — sniffing it would
+    need an extra pass over 100 TB.
+
+    ``multiLine`` stays False deliberately: multi-line CSV is not
+    splittable (one file = one task), which is unacceptable at scale.
+    The boundary: a quoted field containing a real newline shreds into
+    two rows, BOTH flagged in ``_corrupt_record`` — visible, not silent
+    (pinned in tests/test_csv_hostile.py). Files that genuinely need
+    embedded newlines should ship as JSONL/parquet."""
+    reader = (
         spark.read
         .option("header", "true")
         .option("inferSchema", "false")
-        .schema(schema)
-        .csv(source_path)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
+    if rfc4180:
+        reader = reader.option("escape", '"')
+    return reader.schema(T.StructType(  # copy: StructType.add mutates
+        list(schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )).csv(source_path)
 
 
 def read_jsonl(spark: SparkSession, source_path: str,
