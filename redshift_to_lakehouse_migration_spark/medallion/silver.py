@@ -9,11 +9,26 @@ Each transform is ONE wide ``select`` (not 17 chained ``withColumn``s —
 Catalyst collapses those anyway but analyzer time is real; SURVEY §4) and
 each table's DQ suite runs as ONE fused aggregate pass via
 ``redshift_to_lakehouse_migration_spark.quality``.
+
+Raw-edge cast discipline: the reference ran Spark 3 defaults, where a
+malformed raw value (``'2023-02-30'`` effective_date, a NaN premium)
+silently became NULL at these casts; this engine runs Spark 4's ANSI
+default, where the SAME row would abort the whole job
+(``CAST_INVALID_INPUT``) — one corrupt value in 100 TB kills the layer.
+Every conversion of a raw-edge value therefore uses ``try_cast``
+(restoring the reference's NULL semantics under ANSI) plus ACCOUNTING:
+``_cast_errors`` names the source columns whose raw value was non-NULL
+but failed its typed cast, mirroring bronze's ``_corrupt_record``
+(``_``-prefixed, so the schema/recon validators already exclude it) —
+bad input stays distinguishable from legitimately-NULL data and
+quarantine-routable downstream. Casts of engine-COMPUTED values
+elsewhere keep plain ANSI casts deliberately: there, out-of-range means
+a broken invariant and must fail loud, not leak NULLs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import quality as q
@@ -24,8 +39,26 @@ def _meta() -> list:
     return [F.current_timestamp().alias("_cleaned_timestamp")]
 
 
+def _typed(src: Column | str, name: str, dtype: str,
+           errs: list[Column]) -> Column:
+    """``try_cast`` a raw-edge column and record its failure flag: a
+    non-NULL raw value whose typed form is NULL was malformed (or, for
+    DECIMAL money, NaN/Inf/out-of-range)."""
+    src = F.col(src) if isinstance(src, str) else src
+    typed = src.try_cast(dtype)
+    errs.append(F.when(src.isNotNull() & typed.isNull(), F.lit(name)))
+    return typed.alias(name)
+
+
+def _cast_errors(errs: list[Column]) -> Column:
+    """Comma-joined failed-column names; NULL when the row cast clean
+    (``concat_ws`` skips the un-fired ``when`` NULLs)."""
+    return F.nullif(F.concat_ws(",", *errs), F.lit("")).alias("_cast_errors")
+
+
 def transform_policies(df: DataFrame) -> DataFrame:
     """`silver/clean_policies.py:32-75`."""
+    errs: list[Column] = []
     return (
         df.filter(F.col("policy_id").isNotNull()
                   & (F.trim("policy_id") != "")
@@ -39,25 +72,27 @@ def transform_policies(df: DataFrame) -> DataFrame:
             F.lower(F.trim("policyholder_email")).alias("email"),
             F.trim("property_id").alias("property_id"),
             norm_str("coverage_type_code").alias("coverage_type_code"),
-            F.col("effective_date").cast("date").alias("effective_date"),
-            F.col("expiration_date").cast("date").alias("expiration_date"),
+            _typed("effective_date", "effective_date", "date", errs),
+            _typed("expiration_date", "expiration_date", "date", errs),
             norm_str("status").alias("status"),
-            F.col("annual_premium").cast("decimal(12,2)")
-                .alias("annual_premium"),
-            F.col("deductible").cast("decimal(12,2)").alias("deductible"),
-            F.col("coverage_limit").cast("decimal(14,2)")
-                .alias("coverage_limit"),
+            _typed("annual_premium", "annual_premium", "decimal(12,2)",
+                   errs),
+            _typed("deductible", "deductible", "decimal(12,2)", errs),
+            _typed("coverage_limit", "coverage_limit", "decimal(14,2)",
+                   errs),
             F.trim("agent_id").alias("agent_id"),
             norm_str("channel").alias("channel"),
-            F.col("created_at").cast("timestamp").alias("created_at"),
-            F.col("updated_at").cast("timestamp").alias("updated_at"),
+            _typed("created_at", "created_at", "timestamp", errs),
+            _typed("updated_at", "updated_at", "timestamp", errs),
             *_meta(),
+            _cast_errors(errs),
         )
     )
 
 
 def transform_claims(df: DataFrame) -> DataFrame:
     """`silver/clean_claims.py:29-54` incl. empty-string→NULL closed_date."""
+    errs: list[Column] = []
     return (
         df.filter(F.col("claim_id").isNotNull()
                   & F.col("policy_id").isNotNull()
@@ -65,29 +100,31 @@ def transform_claims(df: DataFrame) -> DataFrame:
         .select(
             F.trim("claim_id").alias("claim_id"),
             F.trim("policy_id").alias("policy_id"),
-            F.col("claim_date").cast("date").alias("claim_date"),
-            F.col("reported_date").cast("date").alias("reported_date"),
-            empty_to_null("closed_date").cast("date").alias("closed_date"),
+            _typed("claim_date", "claim_date", "date", errs),
+            _typed("reported_date", "reported_date", "date", errs),
+            _typed(empty_to_null("closed_date"), "closed_date", "date",
+                   errs),
             norm_str("claim_type").alias("claim_type"),
             norm_str("claim_status").alias("claim_status"),
-            F.col("claim_amount").cast("decimal(12,2)")
-                .alias("claim_amount"),
-            F.col("approved_amount").cast("decimal(12,2)")
-                .alias("approved_amount"),
-            F.col("deductible_applied").cast("decimal(12,2)")
-                .alias("deductible_applied"),
+            _typed("claim_amount", "claim_amount", "decimal(12,2)", errs),
+            _typed("approved_amount", "approved_amount", "decimal(12,2)",
+                   errs),
+            _typed("deductible_applied", "deductible_applied",
+                   "decimal(12,2)", errs),
             F.trim("adjuster_id").alias("adjuster_id"),
             norm_str("cause_of_loss").alias("cause_of_loss"),
             F.col("description"),
-            F.col("created_at").cast("timestamp").alias("created_at"),
-            F.col("updated_at").cast("timestamp").alias("updated_at"),
+            _typed("created_at", "created_at", "timestamp", errs),
+            _typed("updated_at", "updated_at", "timestamp", errs),
             *_meta(),
+            _cast_errors(errs),
         )
     )
 
 
 def transform_premiums(df: DataFrame) -> DataFrame:
     """`silver/clean_premiums.py:15-31`."""
+    errs: list[Column] = []
     return (
         df.filter(F.col("premium_id").isNotNull()
                   & F.col("policy_id").isNotNull()
@@ -95,23 +132,24 @@ def transform_premiums(df: DataFrame) -> DataFrame:
         .select(
             F.trim("premium_id").alias("premium_id"),
             F.trim("policy_id").alias("policy_id"),
-            F.col("payment_date").cast("date").alias("payment_date"),
-            F.col("due_date").cast("date").alias("due_date"),
-            F.col("amount").cast("decimal(12,2)").alias("amount"),
+            _typed("payment_date", "payment_date", "date", errs),
+            _typed("due_date", "due_date", "date", errs),
+            _typed("amount", "amount", "decimal(12,2)", errs),
             norm_str("payment_method").alias("payment_method"),
             norm_str("payment_status").alias("payment_status"),
             norm_str("billing_period").alias("billing_period"),
-            F.col("period_start_date").cast("date")
-                .alias("period_start_date"),
-            F.col("period_end_date").cast("date").alias("period_end_date"),
-            F.col("created_at").cast("timestamp").alias("created_at"),
+            _typed("period_start_date", "period_start_date", "date", errs),
+            _typed("period_end_date", "period_end_date", "date", errs),
+            _typed("created_at", "created_at", "timestamp", errs),
             *_meta(),
+            _cast_errors(errs),
         )
     )
 
 
 def transform_properties(df: DataFrame) -> DataFrame:
     """`silver/clean_properties.py:15-38`; zip stays string (leading zeros)."""
+    errs: list[Column] = []
     return (
         df.filter(F.col("property_id").isNotNull())
         .select(
@@ -121,8 +159,8 @@ def transform_properties(df: DataFrame) -> DataFrame:
             F.trim("county").alias("county"),
             norm_str("state").alias("state"),
             F.trim("zip_code").alias("zip_code"),
-            F.col("latitude").cast("decimal(10,7)").alias("latitude"),
-            F.col("longitude").cast("decimal(10,7)").alias("longitude"),
+            _typed("latitude", "latitude", "decimal(10,7)", errs),
+            _typed("longitude", "longitude", "decimal(10,7)", errs),
             F.col("year_built"),
             F.col("square_footage"),
             norm_str("construction_type").alias("construction_type"),
@@ -131,11 +169,12 @@ def transform_properties(df: DataFrame) -> DataFrame:
             norm_str("occupancy_type").alias("occupancy_type"),
             norm_str("flood_zone").alias("flood_zone"),
             F.trim("wind_zone").alias("wind_zone"),
-            F.col("property_value").cast("decimal(14,2)")
-                .alias("property_value"),
-            F.col("created_at").cast("timestamp").alias("created_at"),
-            F.col("updated_at").cast("timestamp").alias("updated_at"),
+            _typed("property_value", "property_value", "decimal(14,2)",
+                   errs),
+            _typed("created_at", "created_at", "timestamp", errs),
+            _typed("updated_at", "updated_at", "timestamp", errs),
             *_meta(),
+            _cast_errors(errs),
         )
     )
 

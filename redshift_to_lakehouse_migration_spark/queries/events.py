@@ -78,9 +78,17 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction over the props column (get_json_object) with a
-    bucketed aggregate on the extracted value."""
+    bucketed aggregate on the extracted value.
+
+    ``try_cast``, not ``cast``: the extracted scalar is raw-edge data, and
+    under the engine's ANSI default a single non-integer ``$.k`` in 100 TB
+    of props would abort the whole job (CAST_INVALID_INPUT) where Spark 3
+    — and this query's declared semantics — treat it as unparseable and
+    drop it via the existing ``k IS NOT NULL`` filter. The DuckDB twin
+    uses TRY_CAST for the same declared behavior; on well-formed props the
+    two forms are value-identical."""
     e = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         e.select(F.col("event_type"), k.alias("k"))
         .filter(F.col("k").isNotNull())
@@ -163,7 +171,8 @@ ORACLES = {
         SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
                MIN(k) AS min_k, MAX(k) AS max_k
         FROM (SELECT event_type,
-                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                     TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         AS k
               FROM events)
         WHERE k IS NOT NULL
         GROUP BY event_type, k % 10
