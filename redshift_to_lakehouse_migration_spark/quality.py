@@ -134,6 +134,21 @@ def in_range(column: str, min_value: Any = None,
     )
 
 
+def cast_clean(column: str = "_cast_errors") -> Check:
+    """Row had no raw-edge cast failure (engine addition; no reference
+    twin — the reference's Spark-3 casts nulled silently with nothing to
+    check). Pairs with silver's ``_cast_errors`` accounting: fused count
+    of corrupt rows in `run_checks`, row-local routing in `quarantine`,
+    where the failed-column names ride along for replay-after-fix."""
+    return Check(
+        f"cast_clean{'' if column == '_cast_errors' else '_' + column}",
+        column,
+        F.sum(F.when(F.col(column).isNotNull(), 1).otherwise(0))
+        .cast("long"),
+        row_fail_cond=F.col(column).isNotNull(),
+    )
+
+
 def composite_unique(columns: list[str]) -> Check:
     """`check_no_duplicates_on_composite_key` (`data_quality_checks.py:94-105`).
 

@@ -21,9 +21,6 @@ instead of the reference's Spark-3 behavior (silent NULL). Pinned here:
 
 from __future__ import annotations
 
-import math
-
-import pytest
 from pyspark.sql import functions as F
 
 from redshift_to_lakehouse_migration_spark import schemas as S
@@ -164,3 +161,33 @@ def test_json_props_hostile_scalar_dropped_not_fatal(spark, tmp_path):
     out = events_json_props(spark, str(tmp_path)).collect()
     got = {(r.event_type, r.k_bucket): (r.n, r.min_k, r.max_k) for r in out}
     assert got == {("click", 7): (2, 7, 17)}
+
+
+def test_cast_errors_route_to_quarantine(spark):
+    """The full raw→silver→quarantine path for a cast-corrupt row: the
+    engine's `cast_clean` check splits it out with its failed-column
+    names intact, while clean rows flow on without the lineage column."""
+    from redshift_to_lakehouse_migration_spark import quality as q
+
+    good = dict(policy_id="P1", effective_date="2023-01-01",
+                expiration_date="2024-01-01", annual_premium=10.0,
+                status="ACTIVE",
+                created_at="2023-01-01 00:00:00",
+                updated_at="2023-01-01 00:00:00")
+    bad = dict(good, policy_id="P2", effective_date="2023-02-30")
+    cols = [f.name for f in S.RAW_POLICIES.fields]
+
+    def tup(d):
+        row = {c: None for c in cols}
+        row.update(d)
+        return tuple(row[c] for c in cols)
+
+    df = spark.createDataFrame([tup(good), tup(bad)], S.RAW_POLICIES)
+    out = silver.transform_policies(df)
+    clean, bad_rows = q.quarantine(out, [q.cast_clean()])
+    assert [r.policy_id for r in clean.collect()] == ["P1"]
+    quarantined = bad_rows.collect()
+    assert len(quarantined) == 1
+    assert quarantined[0].policy_id == "P2"
+    assert quarantined[0]._failed_checks == ["cast_clean"]
+    assert quarantined[0]._cast_errors == "effective_date"
