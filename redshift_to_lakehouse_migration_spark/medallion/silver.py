@@ -56,9 +56,25 @@ def _cast_errors(errs: list[Column]) -> Column:
     return F.nullif(F.concat_ws(",", *errs), F.lit("")).alias("_cast_errors")
 
 
+def _source_corrupt(df: DataFrame, errs: list[Column]) -> None:
+    """Carry bronze's read-time corruption flag into the same accounting
+    channel. Without this, a CSV row the reader shredded (its raw line in
+    ``_corrupt_record``, its salvaged fields NULLed) whose key survived
+    would enter silver indistinguishable from a clean row — re-silencing
+    at silver exactly what the bronze accounting made visible. Folding it
+    into ``_cast_errors`` (first entry) lets ONE ``quality.cast_clean``
+    check quarantine-route both defect classes. Conditional on the column
+    because silver also accepts frames built directly from the RAW_*
+    schemas (tests, non-CSV sources)."""
+    if "_corrupt_record" in df.columns:
+        errs.append(F.when(F.col("_corrupt_record").isNotNull(),
+                           F.lit("_corrupt_record")))
+
+
 def transform_policies(df: DataFrame) -> DataFrame:
     """`silver/clean_policies.py:32-75`."""
     errs: list[Column] = []
+    _source_corrupt(df, errs)
     return (
         df.filter(F.col("policy_id").isNotNull()
                   & (F.trim("policy_id") != "")
@@ -93,6 +109,7 @@ def transform_policies(df: DataFrame) -> DataFrame:
 def transform_claims(df: DataFrame) -> DataFrame:
     """`silver/clean_claims.py:29-54` incl. empty-string→NULL closed_date."""
     errs: list[Column] = []
+    _source_corrupt(df, errs)
     return (
         df.filter(F.col("claim_id").isNotNull()
                   & F.col("policy_id").isNotNull()
@@ -125,6 +142,7 @@ def transform_claims(df: DataFrame) -> DataFrame:
 def transform_premiums(df: DataFrame) -> DataFrame:
     """`silver/clean_premiums.py:15-31`."""
     errs: list[Column] = []
+    _source_corrupt(df, errs)
     return (
         df.filter(F.col("premium_id").isNotNull()
                   & F.col("policy_id").isNotNull()
@@ -150,6 +168,7 @@ def transform_premiums(df: DataFrame) -> DataFrame:
 def transform_properties(df: DataFrame) -> DataFrame:
     """`silver/clean_properties.py:15-38`; zip stays string (leading zeros)."""
     errs: list[Column] = []
+    _source_corrupt(df, errs)
     return (
         df.filter(F.col("property_id").isNotNull())
         .select(

@@ -191,3 +191,40 @@ def test_cast_errors_route_to_quarantine(spark):
     assert quarantined[0].policy_id == "P2"
     assert quarantined[0]._failed_checks == ["cast_clean"]
     assert quarantined[0]._cast_errors == "effective_date"
+
+
+def test_read_time_corruption_survives_into_silver_accounting(spark,
+                                                              tmp_path):
+    """The bronze→silver seam: a CSV row the reader shredded (non-numeric
+    annual_premium; raw line in ``_corrupt_record``, salvaged policy_id
+    intact) must NOT enter silver as a clean row — its ``_cast_errors``
+    carries ``_corrupt_record`` so the same `cast_clean` quarantine split
+    catches read-time AND cast-time corruption."""
+    from redshift_to_lakehouse_migration_spark import quality as q
+    from redshift_to_lakehouse_migration_spark.medallion import bronze
+
+    cols = [f.name for f in S.RAW_POLICIES.fields]
+    clean = {c: "" for c in cols}
+    clean.update(policy_id="P1", effective_date="2023-01-01",
+                 expiration_date="2024-01-01", annual_premium="100.0",
+                 deductible="50", coverage_limit="1000",
+                 status="ACTIVE", created_at="2023-01-01 00:00:00",
+                 updated_at="2023-01-01 00:00:00")
+    shredded = dict(clean, policy_id="P2", annual_premium="NOT_A_NUMBER")
+    csv = tmp_path / "raw_policies.csv"
+    csv.write_text(",".join(cols) + "\n"
+                   + ",".join(clean[c] for c in cols) + "\n"
+                   + ",".join(shredded[c] for c in cols) + "\n")
+
+    target = str(tmp_path / "bronze_policies")
+    bronze.ingest_batch(spark, str(csv), S.RAW_POLICIES, target, batch_id=1)
+    out = silver.transform_policies(spark.read.parquet(target))
+
+    flagged = {r.policy_id: r._cast_errors for r in out.collect()}
+    assert flagged["P1"] is None
+    assert flagged["P2"] is not None
+    assert "_corrupt_record" in flagged["P2"]
+
+    clean_rows, bad_rows = q.quarantine(out, [q.cast_clean()])
+    assert [r.policy_id for r in clean_rows.collect()] == ["P1"]
+    assert [r.policy_id for r in bad_rows.collect()] == ["P2"]
