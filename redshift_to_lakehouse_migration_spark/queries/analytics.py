@@ -888,7 +888,14 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent analytics: each nation's share of its region's
     revenue — a window over an aggregate (the OLAP ratio-to-report
     shape). Revenue sums are exact decimals; the share is one double
-    division over a window-summed exact total, emitted in floor bps."""
+    division over a window-summed exact total, emitted in floor bps.
+
+    ``try_divide``, not ``/``: a region whose revenue nets to exactly
+    zero (refund-canceling totals at scale) makes the share undefined —
+    DuckDB, Spark 3, and ``try_divide`` all say NULL, while a plain ANSI
+    division would abort the whole query on that one region. Same
+    engine-unifying guard as ``llm.similarity.cosine`` (CHANGES_r6 §14);
+    bit-identical wherever the denominator is nonzero."""
     from pyspark.sql import Window as W
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -912,8 +919,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("region_rev").cast("double").alias("region_revenue"),
                 # divide as IEEE doubles: decimal/decimal result scale is
                 # engine-specific and could flip a floor boundary
-                F.floor(F.col("rev").cast("double") * 10000
-                        / F.col("region_rev").cast("double"))
+                F.floor(F.try_divide(
+                    F.col("rev").cast("double") * 10000,
+                    F.col("region_rev").cast("double")))
                 .cast("long").alias("share_bps"))
         .orderBy("region", "nation")
     )

@@ -228,3 +228,44 @@ def test_read_time_corruption_survives_into_silver_accounting(spark,
     clean_rows, bad_rows = q.quarantine(out, [q.cast_clean()])
     assert [r.policy_id for r in clean_rows.collect()] == ["P1"]
     assert [r.policy_id for r in bad_rows.collect()] == ["P2"]
+
+
+def test_zero_revenue_region_yields_null_share_not_abort(spark, tmp_path):
+    """A region whose revenue nets to exactly zero (refund-canceling
+    order totals) makes the ratio-to-report share undefined. DuckDB and
+    Spark 3 both say NULL; under the engine's ANSI default a plain
+    division would abort the whole query on that one region. Pins the
+    try_divide guard in nation_market_share."""
+    from decimal import Decimal
+
+    from redshift_to_lakehouse_migration_spark.queries.analytics import (
+        nation_market_share,
+    )
+
+    spark.createDataFrame(
+        [(0, "ZERO-LAND"), (1, "NORMAL")],
+        "r_regionkey int, r_name string",
+    ).write.parquet(str(tmp_path / "region.parquet"))
+    spark.createDataFrame(
+        [(10, "PROFITIA", 0), (12, "REFUNDIA", 0), (11, "SOLVENTIA", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(100, 10), (101, 12), (102, 11)],
+        "c_custkey int, c_nationkey int",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 100, 500.0), (2, 101, -500.0),  # region nets to zero
+         (3, 102, 250.0)],
+        "o_orderkey int, o_custkey int, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    rows = {r.nation: r for r in
+            nation_market_share(spark, str(tmp_path)).collect()}
+    assert rows["SOLVENTIA"].share_bps == 10000
+    # PROFITIA earned 500 inside a region netting to zero: the share is
+    # genuinely undefined (nonzero / zero) — NULL, not a job abort
+    assert rows["PROFITIA"].nation_revenue == 500.0
+    assert rows["PROFITIA"].region_revenue == 0.0
+    assert rows["PROFITIA"].share_bps is None
+    assert rows["REFUNDIA"].share_bps is None
