@@ -14,6 +14,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def corrupt_schema(schema: T.StructType | str) -> T.StructType:
+    """The declared schema plus the ``_corrupt_record`` accounting column
+    (ONE construction — batch CSV, batch JSONL, and the streaming ingest
+    must agree on it; a copy because ``StructType.add`` mutates the
+    caller's). Accepts a DDL string (the streaming ingest's schema-
+    evolution restarts pass one)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    return T.StructType(list(schema.fields)
+                        + [T.StructField("_corrupt_record", T.StringType())])
+
+
 def add_metadata_columns(df: DataFrame,
                          batch_id: int | None = None) -> DataFrame:
     """Lineage columns (`bronze/ingest_policies.py:55-65`). ``batch_id``
@@ -61,10 +73,7 @@ def read_csv(spark: SparkSession, source_path: str,
     )
     if rfc4180:
         reader = reader.option("escape", '"')
-    return reader.schema(T.StructType(  # copy: StructType.add mutates
-        list(schema.fields)
-        + [T.StructField("_corrupt_record", T.StringType())]
-    )).csv(source_path)
+    return reader.schema(corrupt_schema(schema)).csv(source_path)
 
 
 def read_jsonl(spark: SparkSession, source_path: str,
@@ -79,9 +88,7 @@ def read_jsonl(spark: SparkSession, source_path: str,
         spark.read
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(T.StructType(  # copy: StructType.add mutates the caller's
-            list(schema.fields)
-            + [T.StructField("_corrupt_record", T.StringType())]))
+        .schema(corrupt_schema(schema))
         .json(source_path)
     )
 

@@ -25,22 +25,36 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from ..medallion.bronze import add_metadata_columns
+from ..medallion.bronze import add_metadata_columns, corrupt_schema
 
 
 def ingest_stream(spark: SparkSession, source_dir: str,
                   schema: T.StructType, target_path: str,
                   checkpoint_path: str, fmt: str = "csv",
+                  rfc4180: bool = False,
                   await_termination: bool = True):
     """Stream-ingest files from a landing directory into a parquet table.
 
     Exactly-once: the checkpoint tracks processed files, so re-running after
     new files land appends only the delta (`bronze/ingest_policies.py:111-127`
     semantics, minus cloudFiles).
+
+    Corrupt-row accounting matches the BATCH path (`bronze.read_csv` /
+    `read_jsonl`): the stream reads PERMISSIVE with a ``_corrupt_record``
+    column, so a malformed landing row flows into bronze flagged instead
+    of silently NULL-fielded — without it, the streaming ingest would
+    re-open exactly the blind spot the batch accounting closed, on the
+    path that promises batch parity. ``rfc4180`` declares the
+    doubled-quote CSV dialect per landing dir, as in ``read_csv``.
     """
-    reader = spark.readStream.schema(schema)
+    reader = (spark.readStream
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .schema(corrupt_schema(schema)))
     if fmt == "csv":
         reader = reader.option("header", "true")
+        if rfc4180:
+            reader = reader.option("escape", '"')
     src = getattr(reader, fmt)(source_dir)
     # The SAME lineage builder as the batch path (bronze.add_metadata_
     # columns) — a hand-rolled subset here once omitted _batch_id, giving

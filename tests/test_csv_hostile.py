@@ -121,3 +121,33 @@ def test_ingest_batch_carries_corruption_into_bronze(spark, tmp_path,
     # their raw lines for replay
     good = back.filter(F.col("_corrupt_record").isNull())
     assert good.count() == back.count() - 5
+
+
+def test_ingest_stream_corruption_accounting_matches_batch(spark, tmp_path,
+                                                           hostile_path):
+    """Stream≡batch parity for corrupt-row accounting: the streaming
+    ingest must flag exactly the rows the batch reader flags — without
+    the PERMISSIVE + ``_corrupt_record`` options it silently NULLed the
+    fields of malformed landing rows, re-opening on the streaming path
+    the blind spot the batch accounting closed."""
+    import shutil
+
+    from redshift_to_lakehouse_migration_spark.streaming.ingest import (
+        ingest_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(hostile_path, landing / "hostile.csv")
+    target = str(tmp_path / "bronze_stream")
+    ingest_stream(spark, str(landing), SCHEMA, target,
+                  str(tmp_path / "ckpt"))
+    back = spark.read.parquet(target)
+    # full-row collect on the raw-CSV side: Spark refuses a CSV query
+    # whose referenced columns are ONLY the corrupt-record column
+    batch_rows = bronze.read_csv(spark, hostile_path, SCHEMA).collect()
+    assert back.count() == len(batch_rows)
+    n_batch_bad = sum(r._corrupt_record is not None for r in batch_rows)
+    assert back.filter("_corrupt_record IS NOT NULL").count() == \
+        n_batch_bad == 5
+    assert {"_corrupt_record", "_batch_id"} <= set(back.columns)
