@@ -416,7 +416,7 @@ def _lsh_candidate_verify(sh: DataFrame, bands: DataFrame, threshold: float,
 def _normed_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         docs.filter(F.col(text_col).isNotNull()
-                    & (F.length(F.trim(F.col(text_col))) > 0))
+                    & (F.col(text_col).rlike(r"\S")))
         .select(F.col(id_col).alias("doc_id"),
                 norm_text(text_col).alias("norm"))
     )
@@ -487,7 +487,7 @@ def simhash_signatures(docs: DataFrame, id_col: str,
     """
     normed = (
         docs.filter(F.col(text_col).isNotNull()
-                    & (F.length(F.trim(F.col(text_col))) > 0))
+                    & (F.col(text_col).rlike(r"\S")))
         .select(F.col(id_col).alias("doc_id"),
                 norm_text(text_col).alias("norm"))
     )

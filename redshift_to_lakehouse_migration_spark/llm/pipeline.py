@@ -35,7 +35,7 @@ def stage_raw(docs: DataFrame) -> DataFrame:
     """Non-empty documents with the token count every later stage reuses."""
     text = F.col("text")
     return (
-        docs.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+        docs.filter(text.isNotNull() & text.rlike(r"\S"))
         .select("doc_id", "lang", "text",
                 ws_token_count(text).cast("long").alias("n_tokens"))
     )
@@ -50,8 +50,8 @@ def gate_predicate() -> F.Column:
     text = F.col("text")
     n_chars = F.length(text)
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    from ..queries.llm_text import _STOP_RE
-    n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
+    from ..queries.llm_text import STOPWORDS, word_run_count
+    n_stop = word_run_count(text, STOPWORDS)
     n_tokens = F.col("n_tokens")
     return ((n_tokens >= 5) & (n_punct * 5 < n_chars)
             & (n_stop * 100 >= n_tokens)

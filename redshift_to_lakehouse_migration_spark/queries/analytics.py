@@ -261,14 +261,14 @@ ORACLES = {
             GROUP BY o.o_custkey
             HAVING COUNT(DISTINCT o.o_orderkey) >= 3
         )
-        SELECT r.o_custkey AS customer_id, trim(c.c_name) AS customer_name,
+        SELECT r.o_custkey AS customer_id, trim(c.c_name, ' ') AS customer_name,
                r.revenue, r.order_count
         FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
         ORDER BY r.revenue DESC, customer_id
         LIMIT 25
     """,
     "customers_without_orders": """
-        SELECT c_custkey AS customer_id, trim(c_name) AS customer_name
+        SELECT c_custkey AS customer_id, trim(c_name, ' ') AS customer_name
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey)
@@ -384,11 +384,11 @@ QUERIES["segment_status_pivot"] = segment_status_pivot
 ORACLES["masked_customers"] = """
     SELECT
         c_custkey AS customer_id,
-        CASE WHEN trim(c_name) IS NULL OR length(trim(c_name)) = 0 THEN NULL
-             ELSE concat(substr(trim(c_name), 1, 1),
-                         repeat('*', greatest(length(trim(c_name)) - 1, 0)))
+        CASE WHEN trim(c_name, ' ') IS NULL OR length(trim(c_name, ' ')) = 0 THEN NULL
+             ELSE concat(substr(trim(c_name, ' '), 1, 1),
+                         repeat('*', greatest(length(trim(c_name, ' ')) - 1, 0)))
         END AS masked_name,
-        concat(substr(concat(lower(regexp_replace(trim(c_name), '\\s+', '.',
+        concat(substr(concat(lower(regexp_replace(trim(c_name, ' '), '\\s+', '.',
                                                   'g')), '@example.com'),
                       1, 2), '***@', 'example.com') AS masked_email,
         c_mktsegment AS market_segment

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..llm.dedup import DEFAULT_SHINGLE_DF_CAP
 from ..tables import load, spread
 from .curation import BENCH_MOD
-from .llm_text import _STOP_RE
+from .llm_text import _STOP_COUNT_SQL
 from .sampling import DEFAULT_CEILING, STRATUM_CEILING
 
 
@@ -29,7 +29,7 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"corpus_funnel": corpus_funnel}
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
 _GRAMS = ("list_transform(generate_series(1, greatest(len(t) - 4, 0)), "
           "i -> array_to_string(t[i:i+4], ' '))")
 
@@ -37,18 +37,18 @@ ORACLES = {
     "corpus_funnel": f"""
     WITH RECURSIVE base AS (
         SELECT doc_id, lang, text, {_NORM} AS norm,
-               CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                     AS BIGINT) AS n_tokens
         FROM documents
-        WHERE text IS NOT NULL AND length(trim(text)) > 0
+        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
     ), gated AS (
         SELECT * FROM base
         WHERE n_tokens >= 5
           AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 5
               < length(text)
-          AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 100
+          AND {_STOP_COUNT_SQL} * 100
               >= n_tokens
-          AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 10
+          AND {_STOP_COUNT_SQL} * 10
               <= n_tokens * 6
     ), exact AS (
         SELECT * FROM gated

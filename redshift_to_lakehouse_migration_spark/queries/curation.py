@@ -130,7 +130,7 @@ _GRAMS = f"""
                i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' ')))) AS gram
     FROM (
         SELECT doc_id, lang,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
         FROM documents
     )
     WHERE len(t) >= {NGRAM_N}

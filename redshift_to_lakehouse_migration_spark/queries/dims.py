@@ -221,9 +221,9 @@ ORACLES = {
         SELECT
             {_sk_sql("c.c_custkey", "c.c_name")} AS customer_sk,
             c.c_custkey AS customer_id,
-            trim(c.c_name) AS customer_name,
+            trim(c.c_name, ' ') AS customer_name,
             n.n_name AS nation_name,
-            upper(trim(c.c_mktsegment)) AS market_segment,
+            upper(trim(c.c_mktsegment, ' ')) AS market_segment,
             c.c_acctbal AS account_balance,
             COALESCE(s.order_count, 0) AS order_count,
             COALESCE(s.fulfilled_total, 0.0) AS fulfilled_total,
@@ -252,14 +252,14 @@ ORACLES = {
         SELECT
             {_sk_sql("p_partkey", "p_brand")} AS part_sk,
             p_partkey AS part_id,
-            trim(p_name) AS part_name,
-            upper(trim(p_brand)) AS brand,
-            upper(trim(p_type)) AS part_type,
+            trim(p_name, ' ') AS part_name,
+            upper(trim(p_brand, ' ')) AS brand,
+            upper(trim(p_type, ' ')) AS part_type,
             p_size AS part_size,
             p_retailprice AS retail_price,
-            CASE WHEN upper(trim(p_type)) IN ('PROMO','ECONOMY') THEN 'VALUE'
-                 WHEN upper(trim(p_type)) IN ('STANDARD','MEDIUM') THEN 'CORE'
-                 WHEN upper(trim(p_type)) IN ('LARGE','SMALL') THEN 'SPECIALTY'
+            CASE WHEN upper(trim(p_type, ' ')) IN ('PROMO','ECONOMY') THEN 'VALUE'
+                 WHEN upper(trim(p_type, ' ')) IN ('STANDARD','MEDIUM') THEN 'CORE'
+                 WHEN upper(trim(p_type, ' ')) IN ('LARGE','SMALL') THEN 'SPECIALTY'
                  ELSE 'UNKNOWN' END AS type_tier,
             CASE WHEN p_size <= 10 THEN 'COMPACT'
                  WHEN p_size <= 25 THEN 'MID'
@@ -285,7 +285,7 @@ ORACLES = {
                  WHEN '5-LOW' THEN 'Deferred handling'
                  ELSE 'Unknown' END AS priority_name,
             priority_code IN ('1-URGENT','2-HIGH') AS is_expedited
-        FROM (SELECT DISTINCT upper(trim(o_orderpriority)) AS priority_code
+        FROM (SELECT DISTINCT upper(trim(o_orderpriority, ' ')) AS priority_code
               FROM orders)
     """,
     "dim_date": f"""

@@ -136,7 +136,7 @@ ORACLES = {
         SELECT
             o.o_orderkey AS order_id,
             o.o_custkey AS customer_id,
-            trim(c.c_name) AS customer_name,
+            trim(c.c_name, ' ') AS customer_name,
             c.c_mktsegment AS market_segment,
             o.o_orderstatus AS order_status,
             CAST(o.o_orderdate AS DATE) AS order_date,

@@ -25,7 +25,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(
-        F.length(F.trim(F.col("text"))) > 0)
+        F.col("text").rlike(r"\S"))
     return D.exact_duplicates(docs, "doc_id", "text")
 
 
@@ -34,7 +34,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = (
         _docs(spark, sf_dir)
         .filter(F.col("text").isNotNull()
-                & (F.length(F.trim(F.col("text"))) > 0))
+                & (F.col("text").rlike(r"\S")))
         .select("doc_id", D.norm_text("text").alias("norm"))
     )
     sh = D.shingles(normed, "doc_id", "norm")
@@ -74,7 +74,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _docs(spark, sf_dir)
         .filter(F.col("text").isNotNull()
-                & (F.length(F.trim(F.col("text"))) > 0))
+                & (F.col("text").rlike(r"\S")))
         .select("doc_id")
     )
     comp = connected_components(pairs, "doc_id_1", "doc_id_2")
@@ -104,7 +104,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
 }
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
 
 # Both engines drop shingles whose within-block document frequency exceeds
 # the cap (quadratic-join boilerplate; see llm/dedup.py) — the filter is
@@ -127,13 +127,13 @@ ORACLES = {
             MAX(doc_id) AS max_doc_id,
             COUNT(*) > 1 AS has_duplicates
         FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents
-              WHERE text IS NOT NULL AND length(trim(text)) > 0)
+              WHERE text IS NOT NULL AND regexp_matches(text, '\S'))
         GROUP BY md5(norm)
     """,
     "dedup_ngram_jaccard": f"""
         WITH docs AS (
             SELECT doc_id, {_NORM_SQL} AS norm FROM documents
-            WHERE text IS NOT NULL AND length(trim(text)) > 0
+            WHERE text IS NOT NULL AND regexp_matches(text, '\S')
         ), tok AS (
             SELECT doc_id, substr(norm, 1, 16) AS block,
                    string_split(norm, ' ') AS toks
@@ -171,7 +171,7 @@ ORACLES = {
 ORACLES["dedup_clusters"] = f"""
     WITH RECURSIVE docs AS (
         SELECT doc_id, {_NORM_SQL} AS norm FROM documents
-        WHERE text IS NOT NULL AND length(trim(text)) > 0
+        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
     ), tok AS (
         SELECT doc_id, substr(norm, 1, 16) AS block,
                string_split(norm, ' ') AS toks

@@ -18,15 +18,40 @@ from ..llm.dedup import norm_text, ws_token_count
 from ..tables import load, spread
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
-_STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+# Word counting WITHOUT regex \b: the engines' word-boundary classes
+# genuinely diverge — Java treats Unicode letters as word characters
+# ('éa' hides the 'a'), RE2/DuckDB's \w is ASCII-only (it doesn't) —
+# so a \b-based count silently disagrees on any accented/CJK-adjacent
+# word. A vocabulary word instead matches a maximal [a-z0-9]+ RUN of
+# the lowercased text: one explicit semantics both engines implement
+# identically (probed across accents/CJK/emoji/NUL in
+# tests/test_oracle_differential.py).
+_RUN_SPLIT = r"[^a-z0-9]+"
+
+
+def word_run_count(text_col, words: tuple[str, ...]):
+    """Spark side: count maximal ASCII-alnum runs equal to a vocab word."""
+    toks = F.split(F.lower(text_col), _RUN_SPLIT)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def word_run_count_sql(words: tuple[str, ...]) -> str:
+    """DuckDB twin of :func:`word_run_count` over the ``text`` column."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return ("len(list_filter(string_split_regex(lower(text), "
+            f"'[^a-z0-9]+'), t -> t IN ({inlist})))")
+
+
+_STOP_COUNT_SQL = word_run_count_sql(STOPWORDS)
 
 # marker-word vocabularies per language (n-gram heuristic; deterministic
 # tie-break by vocabulary order)
 LANG_MARKERS = {
-    "en": r"\b(the|and|of|is|was)\b",
-    "de": r"\b(der|die|das|und|ist)\b",
-    "es": r"\b(el|la|los|las|es)\b",
-    "fr": r"\b(le|la|les|est|et)\b",
+    "en": ("the", "and", "of", "is", "was"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "las", "es"),
+    "fr": ("le", "la", "les", "est", "et"),
 }
 
 
@@ -39,11 +64,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = ws_token_count(text)
     n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
+    n_stop = word_run_count(text, STOPWORDS)
     punct_ratio = n_punct / n_chars
     stop_ratio = n_stop / n_tokens
     return (
-        d.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+        d.filter(text.isNotNull() & text.rlike(r"\S"))
         .select(
             F.col("doc_id"),
             F.col("lang").alias("lang_label"),
@@ -68,8 +93,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with deterministic tie-break; compare against the lang label."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     low = F.lower(F.col("text"))
-    scores = {k: F.regexp_count(low, F.lit(pat))
-              for k, pat in LANG_MARKERS.items()}
+    scores = {k: word_run_count(F.col("text"), words)
+              for k, words in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     # reversed so earlier vocabularies win ties (deterministic)
@@ -93,7 +118,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.md5(norm).alias("fingerprint"),
         F.md5(F.substring(norm, 1, 64)).alias("prefix_fingerprint"),
-        F.md5(F.reverse(norm).substr(1, 64)).alias("suffix_fingerprint"),
+        F.md5(F.right(norm, F.lit(64))).alias("suffix_fingerprint"),
         F.length(norm).alias("norm_length"),
     )
 
@@ -114,7 +139,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bpe = F.regexp_count(text, F.lit(_BPE_RE)).cast("long")
     n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
     return (
-        d.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+        d.filter(text.isNotNull() & text.rlike(r"\S"))
         .select(
             F.col("doc_id"),
             n_ws.alias("n_ws_tokens"),
@@ -133,7 +158,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     return (
         d.filter(F.col("text").isNotNull()
-                 & (F.length(F.trim(F.col("text"))) > 0))
+                 & (F.col("text").rlike(r"\S")))
         .select(tok.alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
@@ -152,8 +177,7 @@ QUERIES = {
 }
 
 _LANG_SCORE_SQL = {
-    k: f"len(regexp_extract_all(lower(text), '{pat}'))"
-    for k, pat in LANG_MARKERS.items()
+    k: word_run_count_sql(words) for k, words in LANG_MARKERS.items()
 }
 _BEST = "greatest(" + ", ".join(_LANG_SCORE_SQL.values()) + ")"
 _PRED = "CASE "
@@ -168,27 +192,27 @@ ORACLES = {
             doc_id,
             lang AS lang_label,
             length(text) AS n_chars,
-            CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+            CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')) AS BIGINT)
                 AS n_tokens,
             length(regexp_replace(text, '\\s', '', 'g'))
-                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                 AS avg_token_len,
             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
                 AS punct_ratio,
-            CAST(len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT)
+            CAST({_STOP_COUNT_SQL} AS BIGINT)
                 AS stopword_count,
-            len(regexp_extract_all(lower(text), '{_STOP_RE}'))
-                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+            {_STOP_COUNT_SQL}
+                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                 AS stopword_ratio,
-            least(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) / 50.0, 1.0)
+            least(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')) / 50.0, 1.0)
             * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                    / length(text))
-            * CASE WHEN len(regexp_extract_all(lower(text), '{_STOP_RE}'))
-                        / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+            * CASE WHEN {_STOP_COUNT_SQL}
+                        / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                         BETWEEN 0.01 AND 0.6
                    THEN 1.0 ELSE 0.5 END AS quality_score
         FROM documents
-        WHERE text IS NOT NULL AND length(trim(text)) > 0
+        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
     """,
     "lang_id": f"""
         SELECT
@@ -203,38 +227,38 @@ ORACLES = {
     "doc_fingerprint": """
         SELECT
             doc_id,
-            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
                 AS fingerprint,
-            md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+            md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
                        1, 64)) AS prefix_fingerprint,
-            md5(substr(reverse(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 64))
+            md5(right(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), 64))
                 AS suffix_fingerprint,
-            length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
                 AS norm_length
         FROM documents
     """,
     "token_count_bpe": f"""
         SELECT
             doc_id,
-            CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+            CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')) AS BIGINT)
                 AS n_ws_tokens,
             CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
                 AS n_bpe_tokens,
             len(regexp_extract_all(text, '{_BPE_RE}'))
-                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                / len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                 AS bpe_per_word,
             length(regexp_replace(text, '\\s', '', 'g'))
                 / len(regexp_extract_all(text, '{_BPE_RE}'))
                 AS chars_per_bpe_token
         FROM documents
-        WHERE text IS NOT NULL AND length(trim(text)) > 0
+        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
     """,
     "token_histogram": """
         SELECT token, COUNT(*) AS freq
-        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+'))
                   AS token
               FROM documents
-              WHERE text IS NOT NULL AND length(trim(text)) > 0)
+              WHERE text IS NOT NULL AND regexp_matches(text, '\S'))
         WHERE token <> ''
         GROUP BY token
         ORDER BY freq DESC, token
@@ -255,13 +279,13 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length(text)
     n_tokens = ws_token_count(text)
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    n_stop = F.regexp_count(F.lower(text), F.lit(_STOP_RE))
+    n_stop = word_run_count(text, STOPWORDS)
     # threshold gates in integer arithmetic so borderline docs can never
     # flip between engines (float ratio comparisons hash-mismatched the
     # driver oracle in round 1): punct_ratio < 0.2  ⇔  n_punct*5 < n_chars;
     # stop_ratio ∈ [0.01, 0.6]  ⇔  n_stop*100 >= n_tokens ∧ n_stop*10 <= n_tokens*6
     gated = (
-        d.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+        d.filter(text.isNotNull() & text.rlike(r"\S"))
         .select("doc_id", "lang", F.md5(norm).alias("content_hash"),
                 n_tokens.cast("long").alias("n_tokens"))
         .filter((n_tokens >= 5) & (n_punct * 5 < n_chars)
@@ -298,19 +322,19 @@ QUERIES["corpus_prep"] = corpus_prep
 ORACLES["corpus_prep"] = f"""
     WITH gated AS (
         SELECT doc_id, lang,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
                    AS content_hash,
-               CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+               CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')) AS BIGINT)
                    AS n_tokens
         FROM documents
-        WHERE text IS NOT NULL AND length(trim(text)) > 0
-          AND len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) >= 5
+        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+          AND len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')) >= 5
           AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 5
               < length(text)
-          AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 100
-              >= len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
-          AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 10
-              <= len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) * 6
+          AND {_STOP_COUNT_SQL} * 100
+              >= len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
+          AND {_STOP_COUNT_SQL} * 10
+              <= len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')) * 6
     ), keepers AS (
         SELECT content_hash, MIN(doc_id) AS keeper_id
         FROM gated GROUP BY content_hash
@@ -346,7 +370,7 @@ def dq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("row_count"),
         F.sum(F.when(text.isNull(), 1).otherwise(0)).cast("long")
         .alias("null_text"),
-        F.sum(F.when(text.isNotNull() & (F.length(F.trim(text)) == 0), 1)
+        F.sum(F.when(text.isNotNull() & ~text.rlike(r"\S"), 1)
               .otherwise(0)).cast("long").alias("empty_text"),
         (F.count("*") - F.countDistinct("doc_id")).alias("dup_doc_ids"),
         F.sum(F.when(~F.col("lang").isin("en", "de", "es", "fr"), 1)
@@ -365,7 +389,7 @@ ORACLES["dq_documents"] = """
            CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS null_text,
            CAST(SUM(CASE WHEN text IS NOT NULL
-                          AND length(trim(text)) = 0
+                          AND NOT regexp_matches(text, '\S')
                          THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
            COUNT(*) - COUNT(DISTINCT doc_id) AS dup_doc_ids,
            CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr')
@@ -419,7 +443,7 @@ QUERIES["doc_repetition_filter"] = doc_repetition_filter
 ORACLES["doc_repetition_filter"] = """
     WITH toks AS (
         SELECT doc_id, lang,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
         FROM documents
     ), grams AS (
         SELECT doc_id, lang,

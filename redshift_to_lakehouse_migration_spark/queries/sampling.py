@@ -217,7 +217,7 @@ ORACLES = {
                    CASE WHEN source IN ('src1','src2','src3') THEN 3
                         ELSE 1 END AS weight,
                    COUNT(*) AS docs,
-                   CAST(SUM(CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                   CAST(SUM(CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                                  AS BIGINT)) AS BIGINT) AS tokens
             FROM documents
             WHERE text IS NOT NULL
@@ -239,14 +239,14 @@ ORACLES = {
     "pack_sequences_rows": f"""
         WITH binned AS (
             SELECT doc_id, lang, text,
-                   CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                   CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                         AS BIGINT) AS n_tokens,
-                   CAST(SUM(CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                   CAST(SUM(CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                                  AS BIGINT)) OVER (
                             PARTITION BY lang ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW
-                        ) - CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                        ) - CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                                  AS BIGINT) AS BIGINT)
                        // {PACK_BUDGET} AS bin_id
             FROM documents
@@ -265,7 +265,7 @@ ORACLES = {
     "pack_sequences": f"""
         WITH toks AS (
             SELECT doc_id, lang,
-                   CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                   CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                         AS BIGINT) AS n_tokens
             FROM documents
             WHERE text IS NOT NULL

@@ -94,10 +94,10 @@ ORACLES = {
         SELECT
             o_orderkey AS order_id,
             o_custkey AS customer_id,
-            upper(trim(o_orderstatus)) AS order_status,
+            upper(trim(o_orderstatus, ' ')) AS order_status,
             CAST(o_orderdate AS DATE) AS order_date,
             o_totalprice AS total_price,
-            upper(trim(o_orderpriority)) AS order_priority,
+            upper(trim(o_orderpriority, ' ')) AS order_priority,
             string_split(o_orderpriority, '-')[1] AS priority_code
         FROM orders
         WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
@@ -112,9 +112,9 @@ ORACLES = {
             l_extendedprice AS extended_price,
             l_discount AS discount,
             l_tax AS tax,
-            CASE WHEN trim(upper(trim(l_returnflag))) = '' THEN NULL
-                 ELSE upper(trim(l_returnflag)) END AS return_flag,
-            upper(trim(l_linestatus)) AS line_status,
+            CASE WHEN trim(upper(trim(l_returnflag, ' ')), ' ') = '' THEN NULL
+                 ELSE upper(trim(l_returnflag, ' ')) END AS return_flag,
+            upper(trim(l_linestatus, ' ')) AS line_status,
             CAST(l_shipdate AS DATE) AS ship_date,
             l_extendedprice * (1 - l_discount) AS net_price
         FROM lineitem
@@ -124,10 +124,10 @@ ORACLES = {
     "stg_customer": """
         SELECT
             c_custkey AS customer_id,
-            trim(c_name) AS customer_name,
+            trim(c_name, ' ') AS customer_name,
             c_nationkey AS nation_id,
             c_acctbal AS account_balance,
-            upper(trim(c_mktsegment)) AS market_segment
+            upper(trim(c_mktsegment, ' ')) AS market_segment
         FROM customer
         WHERE c_custkey IS NOT NULL
     """,
