@@ -383,16 +383,27 @@ QUERIES["segment_status_pivot"] = segment_status_pivot
 
 ORACLES["masked_customers"] = """
     SELECT
-        c_custkey AS customer_id,
-        CASE WHEN trim(c_name, ' ') IS NULL OR length(trim(c_name, ' ')) = 0 THEN NULL
-             ELSE concat(substr(trim(c_name, ' '), 1, 1),
-                         repeat('*', greatest(length(trim(c_name, ' ')) - 1, 0)))
+        customer_id,
+        CASE WHEN name IS NULL OR length(name) = 0 THEN NULL
+             ELSE concat(substr(name, 1, 1),
+                         repeat('*', greatest(length(name) - 1, 0)))
         END AS masked_name,
-        concat(substr(concat(lower(regexp_replace(trim(c_name, ' '), '\\s+', '.',
-                                                  'g')), '@example.com'),
-                      1, 2), '***@', 'example.com') AS masked_email,
-        c_mktsegment AS market_segment
-    FROM customer
+        -- email synthesis via || (NULL-propagating like Spark concat;
+        -- DuckDB's concat() SKIPS NULLs and would mask a ghost address
+        -- for a NULL name), then the full mask_email guard
+        CASE WHEN email IS NULL OR NOT contains(email, '@') THEN '***'
+             ELSE concat(substr(email, 1, 2), '***@', 'example.com')
+        END AS masked_email,
+        market_segment
+    FROM (
+        SELECT
+            c_custkey AS customer_id,
+            trim(c_name, ' ') AS name,
+            lower(regexp_replace(trim(c_name, ' '), '\\s+', '.', 'g'))
+                || '@example.com' AS email,
+            c_mktsegment AS market_segment
+        FROM customer
+    )
 """
 
 ORACLES["segment_status_pivot"] = f"""

@@ -159,7 +159,10 @@ def dim_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             surrogate_key("priority_code").alias("priority_sk"),
             F.col("priority_code"),
-            F.split("priority_code", "-").getItem(0).cast("int")
+            # try_cast: a priority without the NN- shape ('NOPRIORITY',
+            # free text) is raw-edge data — rank NULL, not a job abort
+            # under ANSI (CHANGES_r6 §22 discipline; TRY_CAST in the twin)
+            F.split("priority_code", "-").getItem(0).try_cast("int")
                 .alias("priority_rank"),
             lookup_case("priority_code", PRIORITY_NAMES, "Unknown")
                 .alias("priority_name"),
@@ -275,7 +278,7 @@ ORACLES = {
         SELECT
             {_sk_sql("priority_code")} AS priority_sk,
             priority_code,
-            CAST(string_split(priority_code, '-')[1] AS INTEGER)
+            TRY_CAST(string_split(priority_code, '-')[1] AS INTEGER)
                 AS priority_rank,
             CASE priority_code
                  WHEN '1-URGENT' THEN 'Expedite immediately'

@@ -141,6 +141,8 @@ ORACLES = {
             {dsum_sql("value")} AS total_value,
             {davg_sql("value")} AS avg_value
         FROM events
+        WHERE ts IS NOT NULL  -- F.window drops NULL event-time (pinned
+                              -- batch/stream drop parity, CHANGES_r6)
         GROUP BY 1, 2, 3
     """,
     "events_sessionized": f"""
@@ -152,6 +154,7 @@ ORACLES = {
                              IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events
+            WHERE ts IS NOT NULL  -- session_window drops NULL event-time
         ), numbered AS (
             SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                           ROWS UNBOUNDED PRECEDING) AS session_id
@@ -171,8 +174,17 @@ ORACLES = {
         SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
                MIN(k) AS min_k, MAX(k) AS max_k
         FROM (SELECT event_type,
-                     TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
-                         AS k
+                     -- exact twin of get_json_object + try_cast(int):
+                     -- json_extract_string ERRORS on malformed JSON where
+                     -- get_json_object yields NULL (json_valid guard), and
+                     -- DuckDB TRY_CAST rounds '2.5' to 3 where Spark's
+                     -- accepts integral strings only (regex guard)
+                     CASE WHEN props IS NOT NULL AND json_valid(props)
+                          AND regexp_matches(
+                              trim(json_extract_string(props, '$.k'), ' '),
+                              '^[+-]?[0-9]+$')
+                          THEN TRY_CAST(json_extract_string(props, '$.k')
+                                        AS INTEGER) END AS k
               FROM events)
         WHERE k IS NOT NULL
         GROUP BY event_type, k % 10
@@ -223,6 +235,7 @@ ORACLES["events_sliding_windows"] = f"""
             time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
         ]) AS ws
         FROM events
+        WHERE ts IS NOT NULL  -- F.window drops NULL event-time
     )
     GROUP BY 1, 2, 3
 """
@@ -521,24 +534,13 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists but failed to parse (the DuckDB oracle's twin predicate is
     `NOT json_valid(props)`).
 
-    Equivalence assumption (narrower than full JSON semantics, pinned
-    case-by-case in tests/test_text_parity.py): the two predicates agree
-    on syntactically-invalid NON-EMPTY JSON — the only corruption mode a
-    corpus in the driver's shape could realistically carry. (The driver
-    corpus itself contains NO corrupt documents — every props is a
-    well-formed ``{"k": int}`` object, which is also why the unguarded
-    ``json_extract_string`` in the governance/_props oracles is safe —
-    so ``unparseable`` is 0 at every SF and the envelope below matters
-    only for corrupt corpora.) The predicates diverge on WELL-FORMED
-    documents that violate the schema: `from_json` also flags valid non-object JSON (`"5"`,
-    `[1]`) and objects whose `k` is mistyped (`{"k":"abc"}`,
-    `{"k":"12"}`), which `json_valid` accepts (k parses as NULL — or as
-    12 via string coercion); and the EMPTY STRING diverges the other way
-    (`from_json('')` yields a null-field struct with no corrupt record —
-    Spark treats it as absent — where `json_valid('')` is false). On a
-    corpus containing such documents the Spark column is the stricter,
-    schema-aware count by design; the oracle would need json_type checks
-    on both the document and the `$.k` field to match."""
+    The DuckDB twin is the full schema-aware mirror, pinned case-by-case
+    (CHANGES_r6, hostile-random-db differential): blank/NULL props →
+    NULL struct, never corrupt; valid non-object JSON (`"5"`, `[1]`) and
+    objects whose `k` is mistyped (`{"k":"abc"}`, `{"k":2.5}`) or
+    overflows INT → k NULL and corrupt; `k` null-or-missing in a valid
+    object → clean NULL. An earlier `json_valid`-only oracle silently
+    diverged on every schema-violating-but-well-formed document."""
     e = load(spark, sf_dir, "events")
     parsed = e.withColumn(
         "p",
@@ -562,13 +564,38 @@ QUERIES["events_json_typed"] = events_json_typed
 # on malformed JSON rather than returning NULL, so the unguarded form
 # can't even run on a corpus with corrupt documents.
 ORACLES["events_json_typed"] = """
-    WITH parsed AS (
-        SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
-                    THEN TRY_CAST(json_extract_string(props, '$.k')
-                                  AS INTEGER) END AS k,
-               CASE WHEN props IS NOT NULL AND NOT json_valid(props)
-                    THEN 1 ELSE 0 END AS is_corrupt
+    WITH typed AS (
+        -- exact twin of from_json('k INT') with corrupt-record accounting,
+        -- pinned case-by-case (CHANGES_r6: blank/NULL props -> NULL struct,
+        -- never corrupt; valid non-object or mistyped/overflowing k ->
+        -- corrupt; k null-or-missing in a valid object -> clean NULL)
+        SELECT props,
+               CASE WHEN props IS NULL
+                         OR trim(props, ' \t\n\r') = '' THEN NULL
+                    ELSE TRY_CAST(props AS JSON) END AS doc
         FROM events
+    ), parsed AS (
+        SELECT CASE WHEN json_type(doc) = 'OBJECT'
+                    AND json_type(doc, '$.k') IN ('UBIGINT', 'BIGINT')
+                    AND TRY_CAST(json_extract(doc, '$.k') AS BIGINT)
+                        BETWEEN -2147483648 AND 2147483647
+                    THEN CAST(TRY_CAST(json_extract(doc, '$.k') AS BIGINT)
+                              AS INTEGER) END AS k,
+               CASE WHEN props IS NOT NULL
+                    AND trim(props, ' \t\n\r') <> ''
+                    AND (doc IS NULL                      -- invalid JSON
+                         OR json_type(doc) <> 'OBJECT'    -- valid non-object
+                         OR (json_type(doc, '$.k') IS NOT NULL
+                             AND json_type(doc, '$.k') <> 'NULL'
+                             AND NOT COALESCE(        -- NULL-safe: a
+                                 json_type(doc, '$.k')  -- UBIGINT beyond
+                                     IN ('UBIGINT', 'BIGINT')  -- BIGINT
+                                 AND TRY_CAST(json_extract(doc, '$.k')
+                                              AS BIGINT)
+                                     BETWEEN -2147483648 AND 2147483647,
+                                 FALSE)))
+                    THEN 1 ELSE 0 END AS is_corrupt
+        FROM typed
     )
     SELECT k % 10 AS k_bucket,
            COUNT(*) AS n_events,

@@ -28,7 +28,9 @@ def _audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         F.col("user_id").alias("principal_id"),
         F.col("event_type").alias("action"),
-        F.get_json_object("props", "$.k").cast("int").alias("object_id"),
+        # try_cast: raw-edge JSON scalar — a non-integer object id in the
+        # log yields a NULL object, not a job abort (§22 discipline)
+        F.get_json_object("props", "$.k").try_cast("int").alias("object_id"),
         F.col("ts"),
     ).filter(F.col("principal_id").isNotNull() & F.col("ts").isNotNull())
 
@@ -129,17 +131,20 @@ QUERIES = {
     "masked_dim_customer_view": masked_dim_customer_view,
 }
 
-# Unguarded json_extract_string + plain CAST is deliberate here: the
-# driver corpus's props are uniformly well-formed {"k": int} objects
-# (verified — zero json_valid failures at every SF), so a guard would
-# only mask a corpus regression. A corrupt-tolerant deployment would
-# wrap these in json_valid()/TRY_CAST — the divergence envelope between
-# that form and Spark's get_json_object is pinned in
-# tests/test_text_parity.py.
+# Exact twin of get_json_object + try_cast(int) — same guard stack as
+# the events_json_props oracle (json_valid for corrupt docs, integral
+# regex because DuckDB TRY_CAST rounds '2.5'), proven on the hostile
+# random-db differential. On the driver's uniformly well-formed
+# {"k": int} props the guards are no-ops.
 _LOG = """
     SELECT user_id AS principal_id,
            event_type AS action,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS object_id,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                AND regexp_matches(
+                    trim(json_extract_string(props, '$.k'), ' '),
+                    '^[+-]?[0-9]+$')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS object_id,
            ts
     FROM events
     WHERE user_id IS NOT NULL AND ts IS NOT NULL

@@ -340,6 +340,7 @@ ORACLES = {
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
             FROM scored
+            WHERE sim IS NOT NULL  -- undefined sim -> no candidate (§14)
         ) WHERE rank <= 5
     """,
     "ann_lsh_buckets": f"""
@@ -361,6 +362,7 @@ ORACLES = {
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
             FROM pairs
+            WHERE sim IS NOT NULL  -- undefined sim -> no candidate (§14)
         ) WHERE rank <= 3
     """,
     "knn_ivf": f"""
@@ -396,7 +398,9 @@ ORACLES = {
         SELECT * FROM (
             SELECT query_id, neighbor_id, sim, row_number() OVER (
                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-            FROM cand) WHERE rank <= 5
+            FROM cand
+            WHERE sim IS NOT NULL  -- undefined sim -> no candidate (§14)
+            ) WHERE rank <= 5
     """,
     "dedup_embedding_cosine": f"""
         WITH withb AS (

@@ -123,7 +123,7 @@ ORACLES = {
                o_orderstatus AS latest_status
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY o_custkey
-                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC) AS rn
               FROM orders)
         WHERE rn = 1
     """,
@@ -135,7 +135,8 @@ ORACLES = {
                lead(CAST(o_orderdate AS DATE)) OVER w IS NULL AS is_current,
                row_number() OVER w AS version_number
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
     "customer_running_revenue": f"""
         SELECT o_custkey AS customer_id,
@@ -143,17 +144,21 @@ ORACLES = {
                CAST(o_orderdate AS DATE) AS order_date,
                o_totalprice AS total_price,
                {d2d_sql('''SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   PARTITION BY o_custkey
+                       ORDER BY o_orderdate NULLS FIRST, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
                    AS running_revenue,
                {d2d_sql('''SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   PARTITION BY o_custkey
+                       ORDER BY o_orderdate NULLS FIRST, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')}
                / COUNT(*) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   PARTITION BY o_custkey
+                       ORDER BY o_orderdate NULLS FIRST, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
                row_number() OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   PARTITION BY o_custkey
+                       ORDER BY o_orderdate NULLS FIRST, o_orderkey)
                    AS order_seq
         FROM orders
     """,

@@ -1,0 +1,201 @@
+"""Randomized query≡oracle differential over the FULL registry.
+
+`test_oracle_differential` proved the text surface; this module
+generates a seeded hostile RANDOM database for all ten tables —
+duplicate composite keys, orphaned foreign keys, customers without
+orders, heavy order-date/price TIES (the window/rank determinism
+hazard), NULL non-key columns, negative and zero money, out-of-vocab
+statuses, dash-less priorities, corrupt/typed/NULL JSON props, NULL
+event times and user ids, agreement-class hostile text, a zero-norm
+embedding — and replays EVERY oracle-bearing registered query through
+the driver's own compare machinery against its DuckDB twin.
+
+Two deliberate generator bounds, each pinned elsewhere:
+- money values carry ≤2 decimals and |value| < 1e6, so the engine's
+  exact-decimal aggregation devices stay inside their declared
+  precision (overflow is a fail-loud contract, CHANGES_r6 §22);
+- text stays inside the r5-pinned cross-engine agreement envelope
+  (`test_text_parity.py`), like the text differential.
+
+A failure here means the external driver would hash-mismatch on a
+corpus with these (entirely plausible at 100 TB) properties.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from redshift_to_lakehouse_migration_spark.queries import ORACLES, QUERIES
+
+from test_oracle_differential import _ALPHABET, _random_corpus
+from test_queries_oracle import _hash
+
+SEED = 20260816
+
+
+def _money(rng, lo=-500.0, hi=5000.0):
+    return round(rng.uniform(lo, hi), 2)
+
+
+def _name(rng):
+    roll = rng.random()
+    if roll < 0.05:
+        return None
+    if roll < 0.10:
+        return ""
+    core = "".join(rng.choice(_ALPHABET) for _ in range(rng.randrange(1, 18)))
+    return rng.choice(["", " ", "  "]) + core + rng.choice(["", " ", "\t"])
+
+
+def _gen(spark, out_dir: str) -> None:
+    rng = random.Random(SEED)
+    ts_pool = [f"199{y}-0{m}-{d:02d} 0{h}:00:00"
+               for y in (2, 5) for m in (1, 6) for d in (1, 15, 28)
+               for h in (0, 9)]  # small pool → heavy exact ties
+
+    def write(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(2) \
+            .write.parquet(f"{out_dir}/{name}.parquet")
+
+    write("region", [(i, f"REGION_{i}") for i in range(5)],
+          "r_regionkey int, r_name string")
+    write("nation",
+          [(i, _name(rng) or f"NATION_{i}", rng.randrange(5))
+           for i in range(12)],
+          "n_nationkey int, n_name string, n_regionkey int")
+    write("customer",
+          [(i, _name(rng), rng.randrange(12), _money(rng, -2000, 9000),
+            rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE", None, "odd"]))
+           for i in range(80)],
+          "c_custkey long, c_name string, c_nationkey int, "
+          "c_acctbal double, c_mktsegment string")
+    write("supplier",
+          [(i, _name(rng), rng.randrange(12), _money(rng))
+           for i in range(30)],
+          "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    write("part",
+          [(i, _name(rng), f"Brand#{rng.randrange(1, 6)}",
+            rng.choice(["ECONOMY ANODIZED STEEL", "STANDARD POLISHED BRASS",
+                        "SMALL PLATED COPPER", "odd type", "", None]),
+            rng.randrange(1, 50), _money(rng, 1, 2000))
+           for i in range(60)],
+          "p_partkey long, p_name string, p_brand string, p_type string, "
+          "p_size int, p_retailprice double")
+
+    orders = []
+    for i in range(300):
+        # 10% orphan custkeys; ties on date AND price for rank hazards
+        ck = rng.randrange(95) if rng.random() < 0.10 else rng.randrange(80)
+        orders.append((
+            i, ck,
+            rng.choice(["O", "F", "P", "O", "F", "X"]),  # some out-of-vocab
+            rng.choice([0.0, 100.00, 100.00, _money(rng, -100, 400000)]),
+            None if rng.random() < 0.03 else rng.choice(ts_pool),
+            rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW", "NOPRIORITY",
+                        "", None]),
+        ))
+    write("orders", orders,
+          "o_orderkey long, o_custkey long, o_orderstatus string, "
+          "o_totalprice double, o_orderdate string, o_orderpriority string")
+
+    lineitems = []
+    for i in range(900):
+        ok = rng.randrange(320)  # some orphans past 299
+        ln = rng.randrange(1, 8)
+        lineitems.append((
+            ok, rng.randrange(60), rng.randrange(30), ln,
+            float(rng.randrange(0, 51)),  # includes qty 0 (P2 gate)
+            _money(rng, 0, 90000),
+            round(rng.uniform(0, 0.10), 2), round(rng.uniform(0, 0.08), 2),
+            rng.choice(["R", "N", "A", " r ", ""]),
+            rng.choice(["O", "F", "o"]),
+            None if rng.random() < 0.02 else rng.choice(ts_pool),
+        ))
+    # exact duplicate composite keys (dq_duplicate_keys must agree)
+    lineitems += [lineitems[0], lineitems[1]]
+    write("lineitem", lineitems,
+          "l_orderkey long, l_partkey long, l_suppkey long, "
+          "l_linenumber int, l_quantity double, l_extendedprice double, "
+          "l_discount double, l_tax double, l_returnflag string, "
+          "l_linestatus string, l_shipdate string")
+
+    events = []
+    for i in range(1200):
+        props = rng.choice([
+            '{"k": 7}', '{"k": "9"}', '{"k": "abc"}', '{"k": 2.5}',
+            '{"j": 1}', "not json", "", None])
+        events.append((
+            i,
+            None if rng.random() < 0.04 else rng.choice(ts_pool),
+            None if rng.random() < 0.05 else rng.randrange(40),
+            rng.choice(["view", "click", "purchase", "error", "view",
+                        "click", "odd", None]),
+            None if rng.random() < 0.05 else _money(rng, -50, 500),
+            props,
+        ))
+    # exact (user, ts) ties for as-of/session determinism
+    events += [(9001, ts_pool[0], 7, "click", 1.0, None),
+               (9002, ts_pool[0], 7, "view", 2.0, None),
+               (9003, ts_pool[0], 7, "purchase", 3.0, None)]
+    write("events", events,
+          "event_id long, ts string, user_id long, event_type string, "
+          "value double, props string")
+
+    docs = _random_corpus(seed=SEED, n=300)
+    write("documents", docs,
+          "doc_id long, text string, lang string, source string, "
+          "n_chars long")
+
+    embs = []
+    for i in range(130):
+        if i == 64:
+            vec = [0.0] * 64                       # zero-norm (§14 guard)
+        else:
+            vec = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        embs.append((i, vec, rng.randrange(8)))
+    write("embeddings", embs,
+          "vec_id long, embedding array<float>, label int")
+
+    # the engine reads timestamp columns; rewrite the string date cols
+    for t, cols in (("orders", ["o_orderdate"]),
+                    ("lineitem", ["l_shipdate"]), ("events", ["ts"])):
+        df = spark.read.parquet(f"{out_dir}/{t}.parquet")
+        for c in cols:
+            df = df.withColumn(c, df[c].cast("timestamp"))
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}2.parquet")
+    import shutil
+    for t in ("orders", "lineitem", "events"):
+        shutil.rmtree(f"{out_dir}/{t}.parquet")
+        shutil.move(f"{out_dir}/{t}2.parquet", f"{out_dir}/{t}.parquet")
+
+
+@pytest.fixture(scope="module")
+def hostile_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_db")
+    _gen(spark, str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hostile_con(hostile_sf_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{hostile_sf_dir}/{t}.parquet/*.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity_on_hostile_random_db(name, spark, hostile_sf_dir,
+                                            hostile_con):
+    sdf = QUERIES[name](spark, hostile_sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = hostile_con.sql(ORACLES[name])
+    d_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
+    assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
