@@ -199,3 +199,17 @@ def test_oracle_parity_on_hostile_random_db(name, spark, hostile_sf_dir,
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
     assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
+
+
+NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_no_oracle_query_survives_hostile_db(name, spark, hostile_sf_dir):
+    """The rows-only queries (iterative ANN/k-means, approx sketches)
+    have no DuckDB twin to hash against — but the §22/§23 property still
+    applies to them: no single hostile row may abort the job. Execute
+    each against the hostile database; degenerate inputs may shrink the
+    result, never crash it."""
+    rows = QUERIES[name](spark, hostile_sf_dir).collect()
+    assert rows is not None  # executed to completion under ANSI
