@@ -11,9 +11,11 @@ embedding — and replays EVERY oracle-bearing registered query through
 the driver's own compare machinery against its DuckDB twin.
 
 Two deliberate generator bounds, each pinned elsewhere:
-- money values carry ≤2 decimals and |value| < 1e6, so the engine's
-  exact-decimal aggregation devices stay inside their declared
-  precision (overflow is a fail-loud contract, CHANGES_r6 §22);
+- money magnitudes stay < 1e6, so the engine's exact-decimal
+  aggregation devices stay inside their declared precision (overflow is
+  a fail-loud contract, CHANGES_r6 §22); full double PRECISION is kept
+  (the halfway-rounding of the double→DECIMAL cast was probed identical
+  cross-engine);
 - text stays inside the r5-pinned cross-engine agreement envelope
   (`test_text_parity.py`), like the text differential.
 
@@ -37,7 +39,12 @@ SEED = 20260816
 
 
 def _money(rng, lo=-500.0, hi=5000.0):
-    return round(rng.uniform(lo, hi), 2)
+    # full-precision doubles on purpose: the double->DECIMAL cast rounds
+    # HALF_UP on the shortest-decimal value IDENTICALLY in both engines
+    # (probed: 0.125/0.375/2.5/1.005/-0.125), so the exact-sum devices'
+    # rounding path is differential-covered, not just clean 2-decimal
+    # inputs
+    return rng.uniform(lo, hi)
 
 
 def _name(rng):
