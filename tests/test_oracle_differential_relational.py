@@ -15,7 +15,11 @@ Two deliberate generator bounds, each pinned elsewhere:
   aggregation devices stay inside their declared precision (overflow is
   a fail-loud contract, CHANGES_r6 §22); full double PRECISION is kept
   (the halfway-rounding of the double→DECIMAL cast was probed identical
-  cross-engine);
+  cross-engine), but money stays FINITE: non-finite money is a pinned
+  policy boundary, not an oracle defect — Spark's decimal cast NULLs
+  NaN/Inf (silent exclusion) while the DuckDB twin errors, deliberately
+  turning the hash gate red on NaN-bearing data (`functions.dsum`
+  docstring; gate upstream with `quality.expression_check`);
 - text stays inside the r5-pinned cross-engine agreement envelope
   (`test_text_parity.py`), like the text differential.
 
