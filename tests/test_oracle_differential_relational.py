@@ -39,7 +39,7 @@ from redshift_to_lakehouse_migration_spark.queries import ORACLES, QUERIES
 from test_oracle_differential import _ALPHABET, _random_corpus
 from test_queries_oracle import _hash
 
-SEED = 20260816
+SEEDS = (20260816, 20260817)  # two independent draws per run
 
 
 def _money(rng, lo=-500.0, hi=5000.0):
@@ -61,8 +61,8 @@ def _name(rng):
     return rng.choice(["", " ", "  "]) + core + rng.choice(["", " ", "\t"])
 
 
-def _gen(spark, out_dir: str) -> None:
-    rng = random.Random(SEED)
+def _gen(spark, out_dir: str, seed: int) -> None:
+    rng = random.Random(seed)
     ts_pool = [f"199{y}-0{m}-{d:02d} 0{h}:00:00"
                for y in (2, 5) for m in (1, 6) for d in (1, 15, 28)
                for h in (0, 9)]  # small pool → heavy exact ties
@@ -155,7 +155,7 @@ def _gen(spark, out_dir: str) -> None:
           "event_id long, ts string, user_id long, event_type string, "
           "value double, props string")
 
-    docs = _random_corpus(seed=SEED, n=300)
+    docs = _random_corpus(seed=seed, n=300)
     write("documents", docs,
           "doc_id long, text string, lang string, source string, "
           "n_chars long")
@@ -183,10 +183,10 @@ def _gen(spark, out_dir: str) -> None:
         shutil.move(f"{out_dir}/{t}2.parquet", f"{out_dir}/{t}.parquet")
 
 
-@pytest.fixture(scope="module")
-def hostile_sf_dir(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("hostile_db")
-    _gen(spark, str(d))
+@pytest.fixture(scope="module", params=SEEDS)
+def hostile_sf_dir(request, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"hostile_db_{request.param}")
+    _gen(spark, str(d), request.param)
     return str(d)
 
 
