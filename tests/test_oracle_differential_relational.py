@@ -66,6 +66,10 @@ def _gen(spark, out_dir: str, seed: int) -> None:
     ts_pool = [f"199{y}-0{m}-{d:02d} 0{h}:00:00"
                for y in (2, 5) for m in (1, 6) for d in (1, 15, 28)
                for h in (0, 9)]  # small pool → heavy exact ties
+    # pre-epoch timestamps: negative-epoch window/bucket alignment was
+    # probed identical cross-engine (floor vs time_bucket); keep it
+    # covered, not just probed
+    ts_pool += ["1899-12-31 23:40:00", "1900-01-01 00:20:00"]
 
     def write(name, rows, schema):
         spark.createDataFrame(rows, schema).coalesce(2) \
