@@ -140,8 +140,9 @@ def _gen(spark, out_dir: str, seed: int) -> None:
     events = []
     for i in range(1200):
         props = rng.choice([
-            '{"k": 7}', '{"k": "9"}', '{"k": "abc"}', '{"k": 2.5}',
-            '{"j": 1}', "not json", "", None])
+            '{"k": 7}', '{"k": -13}',  # negative: % sign follows the
+            '{"k": "9"}', '{"k": "abc"}',  # dividend in BOTH engines
+            '{"k": 2.5}', '{"j": 1}', "not json", "", None])
         events.append((
             i,
             None if rng.random() < 0.04 else rng.choice(ts_pool),

@@ -44,7 +44,8 @@ def _hostile_events(seed: int, n: int = 300):
             None if rng.random() < 0.06 else rng.randrange(12),
             rng.choice(["view", "click", "purchase", "error", None, "odd"]),
             None if rng.random() < 0.06 else _money(rng, -50, 500),
-            rng.choice(['{"k": 7}', '{"k": "abc"}', "not json", None]),
+            rng.choice(['{"k": 7}', '{"k": -13}', '{"k": "abc"}',
+                        "not json", None]),
         ))
     # exact (user, ts) ties — the session-merge and window-group hazard
     rows += [(9001, _TS_POOL[0], 7, "click", 1.25, None),
