@@ -19,9 +19,16 @@ def corrupt_schema(schema: T.StructType | str) -> T.StructType:
     (ONE construction — batch CSV, batch JSONL, and the streaming ingest
     must agree on it; a copy because ``StructType.add`` mutates the
     caller's). Accepts a DDL string (the streaming ingest's schema-
-    evolution restarts pass one)."""
+    evolution restarts pass one).
+
+    Idempotent: a schema derived from an already-ingested bronze table
+    (``spark.table(...).schema`` on a restart) already carries
+    ``_corrupt_record``; appending again would make the reader schema
+    ambiguous, so such a schema is returned as-is (ADVICE r6)."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
+    if any(f.name == "_corrupt_record" for f in schema.fields):
+        return T.StructType(list(schema.fields))
     return T.StructType(list(schema.fields)
                         + [T.StructField("_corrupt_record", T.StringType())])
 

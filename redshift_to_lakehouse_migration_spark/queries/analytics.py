@@ -955,7 +955,13 @@ ORACLES["nation_market_share"] = f"""
     SELECT region, nation,
            {d2d_sql("rev")} AS nation_revenue,
            {_REGION_REV} AS region_revenue,
-           CAST(FLOOR({d2d_sql("rev")} * 10000 / {_REGION_REV})
+           -- NULLIF: the Spark side uses try_divide (NULL share for a
+           -- zero-revenue region).  duckdb 1.0.0 happens to return NULL
+           -- for double x/0, but >=1.1 defaults ieee_floating_point_ops
+           -- = true (x/0.0 = inf), so pin the NULL semantics explicitly
+           -- rather than rely on the engine version (ADVICE r6).
+           CAST(FLOOR({d2d_sql("rev")} * 10000
+                      / NULLIF({_REGION_REV}, 0))
                 AS BIGINT) AS share_bps
     FROM per_nation
     ORDER BY region, nation

@@ -40,7 +40,7 @@ ORACLES = {
                CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' '))
                     AS BIGINT) AS n_tokens
         FROM documents
-        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+        WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
     ), gated AS (
         SELECT * FROM base
         WHERE n_tokens >= 5

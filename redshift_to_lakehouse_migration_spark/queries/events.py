@@ -179,9 +179,18 @@ ORACLES = {
                      -- get_json_object yields NULL (json_valid guard), and
                      -- DuckDB TRY_CAST rounds '2.5' to 3 where Spark's
                      -- accepts integral strings only (regex guard)
+                     -- guard trims the full cast-agreement whitespace set
+                     -- (space tab nl cr vt ff): Spark's string->int
+                     -- try_cast trims all Java whitespace, and DuckDB's
+                     -- int cast itself skips exactly these six, so a
+                     -- JSON-escaped "\t5" casts to 5 in BOTH engines --
+                     -- the guard must not reject it (ADVICE r6; probed
+                     -- char-by-char).  \x1c-\x1f stay pinned-divergent:
+                     -- there the CASTS disagree, not the guard.
                      CASE WHEN props IS NOT NULL AND json_valid(props)
                           AND regexp_matches(
-                              trim(json_extract_string(props, '$.k'), ' '),
+                              trim(json_extract_string(props, '$.k'),
+                                   ' \t\n\r' || chr(11) || chr(12)),
                               '^[+-]?[0-9]+$')
                           THEN TRY_CAST(json_extract_string(props, '$.k')
                                         AS INTEGER) END AS k

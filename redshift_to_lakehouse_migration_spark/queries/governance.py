@@ -141,7 +141,8 @@ _LOG = """
            event_type AS action,
            CASE WHEN props IS NOT NULL AND json_valid(props)
                 AND regexp_matches(
-                    trim(json_extract_string(props, '$.k'), ' '),
+                    trim(json_extract_string(props, '$.k'),
+                         ' \t\n\r' || chr(11) || chr(12)),
                     '^[+-]?[0-9]+$')
                 THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
            END AS object_id,

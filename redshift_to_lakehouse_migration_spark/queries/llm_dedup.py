@@ -127,13 +127,13 @@ ORACLES = {
             MAX(doc_id) AS max_doc_id,
             COUNT(*) > 1 AS has_duplicates
         FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents
-              WHERE text IS NOT NULL AND regexp_matches(text, '\S'))
+              WHERE text IS NOT NULL AND regexp_matches(text, '\\S'))
         GROUP BY md5(norm)
     """,
     "dedup_ngram_jaccard": f"""
         WITH docs AS (
             SELECT doc_id, {_NORM_SQL} AS norm FROM documents
-            WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+            WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
         ), tok AS (
             SELECT doc_id, substr(norm, 1, 16) AS block,
                    string_split(norm, ' ') AS toks
@@ -171,7 +171,7 @@ ORACLES = {
 ORACLES["dedup_clusters"] = f"""
     WITH RECURSIVE docs AS (
         SELECT doc_id, {_NORM_SQL} AS norm FROM documents
-        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+        WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
     ), tok AS (
         SELECT doc_id, substr(norm, 1, 16) AS block,
                string_split(norm, ' ') AS toks

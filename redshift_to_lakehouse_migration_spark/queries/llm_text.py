@@ -212,7 +212,7 @@ ORACLES = {
                         BETWEEN 0.01 AND 0.6
                    THEN 1.0 ELSE 0.5 END AS quality_score
         FROM documents
-        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+        WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
     """,
     "lang_id": f"""
         SELECT
@@ -251,14 +251,14 @@ ORACLES = {
                 / len(regexp_extract_all(text, '{_BPE_RE}'))
                 AS chars_per_bpe_token
         FROM documents
-        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+        WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
     """,
     "token_histogram": """
         SELECT token, COUNT(*) AS freq
         FROM (SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+'))
                   AS token
               FROM documents
-              WHERE text IS NOT NULL AND regexp_matches(text, '\S'))
+              WHERE text IS NOT NULL AND regexp_matches(text, '\\S'))
         WHERE token <> ''
         GROUP BY token
         ORDER BY freq DESC, token
@@ -327,7 +327,7 @@ ORACLES["corpus_prep"] = f"""
                CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')) AS BIGINT)
                    AS n_tokens
         FROM documents
-        WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+        WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
           AND len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')) >= 5
           AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 5
               < length(text)
@@ -389,7 +389,7 @@ ORACLES["dq_documents"] = """
            CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS null_text,
            CAST(SUM(CASE WHEN text IS NOT NULL
-                          AND NOT regexp_matches(text, '\S')
+                          AND NOT regexp_matches(text, '\\S')
                          THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
            COUNT(*) - COUNT(DISTINCT doc_id) AS dup_doc_ids,
            CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr')

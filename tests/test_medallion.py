@@ -272,3 +272,29 @@ def test_fact_claims_null_approved_amount_reference_semantics(spark):
     assert rows["C1"].capped_claim_amount == 1000.0     # claim < limit
     assert rows["C2"].capped_claim_amount == 500000.0   # capped at limit
     assert rows["C2"].net_claim_payout == 900000.0 - 100.0
+
+
+def test_corrupt_schema_idempotent(spark):
+    """corrupt_schema on a schema that already carries _corrupt_record
+    (e.g. derived from an already-ingested bronze table on a schema-
+    evolution restart) must not append a duplicate column (ADVICE r6)."""
+    from pyspark.sql import types as T
+
+    from redshift_to_lakehouse_migration_spark.medallion.bronze import (
+        corrupt_schema,
+    )
+
+    base = T.StructType([T.StructField("id", T.LongType()),
+                         T.StructField("name", T.StringType())])
+    once = corrupt_schema(base)
+    assert [f.name for f in once.fields] == ["id", "name", "_corrupt_record"]
+    twice = corrupt_schema(once)
+    assert [f.name for f in twice.fields] == ["id", "name", "_corrupt_record"]
+    # DDL round-trip (the streaming restart path) is idempotent too, and
+    # the input StructType is never mutated
+    ddl = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                   for f in once.fields)
+    via_ddl = corrupt_schema(ddl)
+    assert [f.name for f in via_ddl.fields] == ["id", "name",
+                                                "_corrupt_record"]
+    assert len(base.fields) == 2

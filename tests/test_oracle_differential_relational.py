@@ -142,7 +142,16 @@ def _gen(spark, out_dir: str, seed: int) -> None:
         props = rng.choice([
             '{"k": 7}', '{"k": -13}',  # negative: % sign follows the
             '{"k": "9"}', '{"k": "abc"}',  # dividend in BOTH engines
-            '{"k": 2.5}', '{"j": 1}', "not json", "", None])
+            '{"k": 2.5}', '{"j": 1}', "not json", "", None,
+            # JSON-ESCAPED whitespace around a digit string (decodes to
+            # tab/newline-padded "5"): Spark's string->int try_cast trims
+            # all whitespace, so these cast to ints in both engines — the
+            # ADVICE-r6 divergence the widened oracle guard trim fixes.
+            # RAW control bytes inside JSON strings stay excluded: Spark's
+            # Jackson parses them leniently while DuckDB's json_valid
+            # rejects the document — a pinned engine-level JSON-strictness
+            # divergence (CHANGES_r7), like \x1c-\x1f at the cast level.
+            '{"k": "\\t5"}', '{"k": "\\n-3\\r"}', '{"k": " 12 "}'])
         events.append((
             i,
             None if rng.random() < 0.04 else rng.choice(ts_pool),
