@@ -11,7 +11,19 @@ warmup query to amortize JVM startup out of per-query numbers.
 Every entry (queries AND the two end-to-end pipelines) runs
 $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-entry
 MEDIAN — single-shot numbers on a shared VM carry ±40% noise, and medians
-are the defensible round-over-round comparison unit.
+are the defensible round-over-round comparison unit.  Entries whose
+first-pass median lands under 1 s re-run to a median of 7: the sub-second
+tier is where cross-round host noise has repeatedly mimicked regressions
+(r4–r6 verdicts each did host forensics on byte-identical entries), and
+extra reps there are nearly free.
+
+Self-attribution (VERDICT r6 #2): a pinned synthetic canary — 10M-row
+JVM-side hash/group/sort that never touches the engine or the data dir —
+runs first and last, and its timings ship in the JSON (`canary_s`).  Any
+cross-round comparison can divide per-entry medians by the canary ratio
+to separate "the code got slower" from "the host got slower"; a
+first-vs-last canary gap also exposes in-run drift (thermal/neighbor
+load) that per-entry medians alone can't show.
 """
 
 from __future__ import annotations
@@ -52,6 +64,25 @@ def main() -> None:
     from redshift_to_lakehouse_migration_spark.tables import load
     load(spark, sf_dir, "lineitem").selectExpr("count(*)").collect()
 
+    def canary() -> float:
+        """Pinned host-speed workload: NEVER change this (its whole value
+        is byte-identical work across rounds).  10M rows, a multiplicative
+        hash into 2^20 groups, hash aggregate, sort of the 1M groups —
+        JVM-side only, no files, no engine code, ~1-2 s on the reference
+        host."""
+        t0 = time.perf_counter()
+        (spark.range(10_000_000)
+         .selectExpr("(id * 2654435761) % 1048576 AS k", "id % 9973 AS v")
+         .groupBy("k").sum("v")
+         .orderBy("k")
+         .write.format("noop").mode("overwrite").save())
+        return round(time.perf_counter() - t0, 3)
+
+    canary()  # untimed: the first canary pays groupBy/sort codegen init
+    # (measured 6.4 s vs 2.8 s steady-state) — timing it would fold JIT
+    # warmup into the host-speed signal
+    canary_first = canary()
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
@@ -61,8 +92,18 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    subsec_reps = max(reps, 7)
     for name in sorted(QUERIES):
-        timings[name] = _median([run_once(name) for _ in range(reps)])
+        runs = [run_once(name) for _ in range(reps)]
+        if _median(runs) < 1.0:
+            # sub-second tier: extend to a median of 7 — these entries'
+            # cross-round deltas have repeatedly been host noise, and
+            # 4 extra sub-second runs cost ~2 s each entry
+            runs += [run_once(name) for _ in range(subsec_reps - len(runs))]
+        med = _median(runs)
+        timings[name] = med
+        spreads[name] = round((max(runs) - min(runs)) / med, 3) if med else 0.0
         # Release dropped DataFrame refs promptly so the ContextCleaner
         # unpersists localCheckpoint/cache blocks between entries —
         # otherwise earlier queries' cached blocks add GC pressure to
@@ -118,7 +159,10 @@ def main() -> None:
             shutil.rmtree(tmp2, ignore_errors=True)
     corpus_sec = _median(corpus_runs)
 
+    canary_last = canary()
+
     total = round(sum(timings.values()) + pipeline_sec + corpus_sec, 3)
+    sub = {n: s for n, s in spreads.items() if timings[n] < 1.0}
     print(json.dumps({
         "metric": "engine_query_suite_plus_pipeline_wall_sec",
         "value": total,
@@ -128,11 +172,25 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "reps": reps,
-        "notes": (f"per-entry MEDIANS over {reps} runs; total covers every "
-                  "registered query plus TWO materializing end-to-end "
-                  "pipelines (medallion 10k, corpus prep); the registry "
-                  "grew across rounds, so compare per-entry medians, not "
-                  "totals"),
+        # host-speed canary: identical synthetic work every round — to
+        # compare BENCH_rN vs BENCH_rM, normalize per-entry medians by
+        # canary_s(N)/canary_s(M) before reading any delta as a
+        # code-attributable change; first-vs-last gap = in-run drift
+        "canary_s": _median([canary_first, canary_last]),
+        "canary_first_s": canary_first,
+        "canary_last_s": canary_last,
+        # spread = (max-min)/median across an entry's reps; summarized
+        # for the sub-second tier (median of 7 there), full map omitted
+        # to keep the line one screen wide
+        "subsec_entries": len(sub),
+        "subsec_spread_median": _median(list(sub.values())) if sub else 0.0,
+        "subsec_spread_max": max(sub.values()) if sub else 0.0,
+        "notes": (f"per-entry MEDIANS over {reps} runs (7 when the entry "
+                  "is sub-second); total covers every registered query "
+                  "plus TWO materializing end-to-end pipelines (medallion "
+                  "10k, corpus prep); the registry grew across rounds, so "
+                  "compare per-entry medians, not totals, and "
+                  "canary-normalize cross-round deltas"),
     }))
     spark.stop()
 
