@@ -39,24 +39,59 @@ def _meta() -> list:
     return [F.current_timestamp().alias("_cleaned_timestamp")]
 
 
+class _CastAcc:
+    """Accumulates the cast-accounting bookkeeping for one transform:
+    ``names`` (error-flag order — `_corrupt_record` first when present,
+    then each raw-edge column in projection order) and ``flags`` (the
+    cheap raw-side booleans stage 1 must carry so stage 2 can derive the
+    error column without re-evaluating any cast)."""
+
+    def __init__(self) -> None:
+        self.names: list[str] = []
+        self.flags: list[Column] = []
+
+
 def _typed(src: Column | str, name: str, dtype: str,
-           errs: list[Column]) -> Column:
-    """``try_cast`` a raw-edge column and record its failure flag: a
-    non-NULL raw value whose typed form is NULL was malformed (or, for
-    DECIMAL money, NaN/Inf/out-of-range)."""
+           acc: _CastAcc) -> Column:
+    """``try_cast`` a raw-edge column and register its failure-flag
+    bookkeeping: a non-NULL raw value whose typed form is NULL was
+    malformed (or, for DECIMAL money, NaN/Inf/out-of-range).
+
+    Single-evaluation discipline (VERDICT r6 #3): the try_cast itself is
+    emitted ONCE, here; the error test in ``_finish`` reads the
+    already-projected typed column plus a cheap ``_nn_<name>``
+    raw-nonnull boolean from a SECOND select.  The one-select form
+    referenced every cast twice (typed value + ``typed.isNull()`` inside
+    the error ``when``) and left dedup to codegen CSE heuristics; two
+    Projects make it structural — CollapseProject does not inline a
+    non-cheap alias that is referenced more than once, so each cast
+    evaluates exactly once per row (plan-asserted in
+    tests/test_medallion.py)."""
     src = F.col(src) if isinstance(src, str) else src
-    typed = src.try_cast(dtype)
-    errs.append(F.when(src.isNotNull() & typed.isNull(), F.lit(name)))
-    return typed.alias(name)
+    acc.names.append(name)
+    acc.flags.append(src.isNotNull().alias("_nn_" + name))
+    return src.try_cast(dtype).alias(name)
 
 
-def _cast_errors(errs: list[Column]) -> Column:
-    """Comma-joined failed-column names; NULL when the row cast clean
-    (``concat_ws`` skips the un-fired ``when`` NULLs)."""
-    return F.nullif(F.concat_ws(",", *errs), F.lit("")).alias("_cast_errors")
+def _finish(stage1: DataFrame, acc: _CastAcc) -> DataFrame:
+    """Second select: pass every non-bookkeeping column through unchanged
+    and derive ``_cast_errors`` — comma-joined failed-column names, NULL
+    when the row cast clean (``concat_ws`` skips un-fired ``when``
+    NULLs) — from the stage-1 typed columns and ``_nn_*`` flags."""
+    errs = []
+    for n in acc.names:
+        if n == "_corrupt_record":
+            errs.append(F.when(F.col("_nn__corrupt_record"), F.lit(n)))
+        else:
+            errs.append(F.when(F.col("_nn_" + n) & F.col(n).isNull(),
+                               F.lit(n)))
+    out = [c for c in stage1.columns if not c.startswith("_nn_")]
+    return stage1.select(
+        *out,
+        F.nullif(F.concat_ws(",", *errs), F.lit("")).alias("_cast_errors"))
 
 
-def _source_corrupt(df: DataFrame, errs: list[Column]) -> None:
+def _source_corrupt(df: DataFrame, acc: _CastAcc) -> None:
     """Carry bronze's read-time corruption flag into the same accounting
     channel. Without this, a CSV row the reader shredded (its raw line in
     ``_corrupt_record``, its salvaged fields NULLed) whose key survived
@@ -67,15 +102,18 @@ def _source_corrupt(df: DataFrame, errs: list[Column]) -> None:
     because silver also accepts frames built directly from the RAW_*
     schemas (tests, non-CSV sources)."""
     if "_corrupt_record" in df.columns:
-        errs.append(F.when(F.col("_corrupt_record").isNotNull(),
-                           F.lit("_corrupt_record")))
+        acc.names.append("_corrupt_record")
+        acc.flags.append(F.col("_corrupt_record").isNotNull()
+                         .alias("_nn__corrupt_record"))
 
 
 def transform_policies(df: DataFrame) -> DataFrame:
     """`silver/clean_policies.py:32-75`."""
-    errs: list[Column] = []
-    _source_corrupt(df, errs)
-    return (
+    acc = _CastAcc()
+    _source_corrupt(df, acc)
+    # the trailing *acc.flags unpacks AFTER the earlier _typed(...)
+    # arguments have run (left-to-right evaluation), so it sees every flag
+    return _finish(
         df.filter(F.col("policy_id").isNotNull()
                   & (F.trim("policy_id") != "")
                   & F.col("effective_date").isNotNull())
@@ -88,88 +126,85 @@ def transform_policies(df: DataFrame) -> DataFrame:
             F.lower(F.trim("policyholder_email")).alias("email"),
             F.trim("property_id").alias("property_id"),
             norm_str("coverage_type_code").alias("coverage_type_code"),
-            _typed("effective_date", "effective_date", "date", errs),
-            _typed("expiration_date", "expiration_date", "date", errs),
+            _typed("effective_date", "effective_date", "date", acc),
+            _typed("expiration_date", "expiration_date", "date", acc),
             norm_str("status").alias("status"),
             _typed("annual_premium", "annual_premium", "decimal(12,2)",
-                   errs),
-            _typed("deductible", "deductible", "decimal(12,2)", errs),
+                   acc),
+            _typed("deductible", "deductible", "decimal(12,2)", acc),
             _typed("coverage_limit", "coverage_limit", "decimal(14,2)",
-                   errs),
+                   acc),
             F.trim("agent_id").alias("agent_id"),
             norm_str("channel").alias("channel"),
-            _typed("created_at", "created_at", "timestamp", errs),
-            _typed("updated_at", "updated_at", "timestamp", errs),
+            _typed("created_at", "created_at", "timestamp", acc),
+            _typed("updated_at", "updated_at", "timestamp", acc),
             *_meta(),
-            _cast_errors(errs),
-        )
-    )
+            *acc.flags,
+        ), acc)
 
 
 def transform_claims(df: DataFrame) -> DataFrame:
     """`silver/clean_claims.py:29-54` incl. empty-string→NULL closed_date."""
-    errs: list[Column] = []
-    _source_corrupt(df, errs)
-    return (
+    acc = _CastAcc()
+    _source_corrupt(df, acc)
+    return _finish(
         df.filter(F.col("claim_id").isNotNull()
                   & F.col("policy_id").isNotNull()
                   & (F.col("claim_amount") >= 0))
         .select(
             F.trim("claim_id").alias("claim_id"),
             F.trim("policy_id").alias("policy_id"),
-            _typed("claim_date", "claim_date", "date", errs),
-            _typed("reported_date", "reported_date", "date", errs),
+            _typed("claim_date", "claim_date", "date", acc),
+            _typed("reported_date", "reported_date", "date", acc),
             _typed(empty_to_null("closed_date"), "closed_date", "date",
-                   errs),
+                   acc),
             norm_str("claim_type").alias("claim_type"),
             norm_str("claim_status").alias("claim_status"),
-            _typed("claim_amount", "claim_amount", "decimal(12,2)", errs),
+            _typed("claim_amount", "claim_amount", "decimal(12,2)", acc),
             _typed("approved_amount", "approved_amount", "decimal(12,2)",
-                   errs),
+                   acc),
             _typed("deductible_applied", "deductible_applied",
-                   "decimal(12,2)", errs),
+                   "decimal(12,2)", acc),
             F.trim("adjuster_id").alias("adjuster_id"),
             norm_str("cause_of_loss").alias("cause_of_loss"),
             F.col("description"),
-            _typed("created_at", "created_at", "timestamp", errs),
-            _typed("updated_at", "updated_at", "timestamp", errs),
+            _typed("created_at", "created_at", "timestamp", acc),
+            _typed("updated_at", "updated_at", "timestamp", acc),
             *_meta(),
-            _cast_errors(errs),
-        )
-    )
+            *acc.flags,
+        ), acc)
 
 
 def transform_premiums(df: DataFrame) -> DataFrame:
     """`silver/clean_premiums.py:15-31`."""
-    errs: list[Column] = []
-    _source_corrupt(df, errs)
-    return (
+    acc = _CastAcc()
+    _source_corrupt(df, acc)
+    return _finish(
         df.filter(F.col("premium_id").isNotNull()
                   & F.col("policy_id").isNotNull()
                   & (F.col("amount") > 0))
         .select(
             F.trim("premium_id").alias("premium_id"),
             F.trim("policy_id").alias("policy_id"),
-            _typed("payment_date", "payment_date", "date", errs),
-            _typed("due_date", "due_date", "date", errs),
-            _typed("amount", "amount", "decimal(12,2)", errs),
+            _typed("payment_date", "payment_date", "date", acc),
+            _typed("due_date", "due_date", "date", acc),
+            _typed("amount", "amount", "decimal(12,2)", acc),
             norm_str("payment_method").alias("payment_method"),
             norm_str("payment_status").alias("payment_status"),
             norm_str("billing_period").alias("billing_period"),
-            _typed("period_start_date", "period_start_date", "date", errs),
-            _typed("period_end_date", "period_end_date", "date", errs),
-            _typed("created_at", "created_at", "timestamp", errs),
+            _typed("period_start_date", "period_start_date", "date", acc),
+            _typed("period_end_date", "period_end_date", "date", acc),
+            _typed("created_at", "created_at", "timestamp", acc),
             *_meta(),
-            _cast_errors(errs),
-        )
-    )
+            *acc.flags,
+        ), acc)
 
 
 def transform_properties(df: DataFrame) -> DataFrame:
     """`silver/clean_properties.py:15-38`; zip stays string (leading zeros)."""
-    errs: list[Column] = []
-    _source_corrupt(df, errs)
-    return (
+    acc = _CastAcc()
+    _source_corrupt(df, acc)
+    return _finish(
         df.filter(F.col("property_id").isNotNull())
         .select(
             F.trim("property_id").alias("property_id"),
@@ -178,8 +213,8 @@ def transform_properties(df: DataFrame) -> DataFrame:
             F.trim("county").alias("county"),
             norm_str("state").alias("state"),
             F.trim("zip_code").alias("zip_code"),
-            _typed("latitude", "latitude", "decimal(10,7)", errs),
-            _typed("longitude", "longitude", "decimal(10,7)", errs),
+            _typed("latitude", "latitude", "decimal(10,7)", acc),
+            _typed("longitude", "longitude", "decimal(10,7)", acc),
             F.col("year_built"),
             F.col("square_footage"),
             norm_str("construction_type").alias("construction_type"),
@@ -189,13 +224,12 @@ def transform_properties(df: DataFrame) -> DataFrame:
             norm_str("flood_zone").alias("flood_zone"),
             F.trim("wind_zone").alias("wind_zone"),
             _typed("property_value", "property_value", "decimal(14,2)",
-                   errs),
-            _typed("created_at", "created_at", "timestamp", errs),
-            _typed("updated_at", "updated_at", "timestamp", errs),
+                   acc),
+            _typed("created_at", "created_at", "timestamp", acc),
+            _typed("updated_at", "updated_at", "timestamp", acc),
             *_meta(),
-            _cast_errors(errs),
-        )
-    )
+            *acc.flags,
+        ), acc)
 
 
 # --- fused validation suites (one aggregate job per table) ----------------

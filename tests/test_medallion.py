@@ -298,3 +298,31 @@ def test_corrupt_schema_idempotent(spark):
     assert [f.name for f in via_ddl.fields] == ["id", "name",
                                                 "_corrupt_record"]
     assert len(base.fields) == 2
+
+
+def test_silver_casts_evaluate_once_in_plan(spark):
+    """Single-evaluation discipline (VERDICT r6 #3): each raw-edge
+    try_cast must appear exactly ONCE in the optimized plan — the
+    _cast_errors column reads the already-projected typed columns, not a
+    second copy of the cast.  Structural (two Project nodes), not a
+    codegen-CSE heuristic."""
+    import re
+
+    from redshift_to_lakehouse_migration_spark import schemas as S
+    from redshift_to_lakehouse_migration_spark.medallion import silver
+
+    for schema, fn, probes in (
+            (S.RAW_POLICIES, silver.transform_policies,
+             ("effective_date", "annual_premium", "updated_at")),
+            (S.RAW_CLAIMS, silver.transform_claims,
+             ("claim_date", "claim_amount")),
+            (S.RAW_PREMIUMS, silver.transform_premiums,
+             ("payment_date", "amount")),
+            (S.RAW_PROPERTIES, silver.transform_properties,
+             ("latitude", "property_value")),
+    ):
+        raw = spark.createDataFrame([], schema)
+        plan = fn(raw)._jdf.queryExecution().optimizedPlan().toString()
+        for col in probes:
+            n = len(re.findall(rf"try_cast\({col}#\d+ as", plan))
+            assert n == 1, (fn.__name__, col, n)
