@@ -39,7 +39,16 @@ from redshift_to_lakehouse_migration_spark.queries import ORACLES, QUERIES
 from test_oracle_differential import _ALPHABET, _random_corpus
 from test_queries_oracle import _hash
 
-SEEDS = (20260816, 20260817)  # two independent draws per run
+import os
+
+# Default two independent draws per run; a SWEEP overrides via
+# SPARK_GRAFT_DIFF_SEEDS="s1,s2,..." (tools/seed sweeps hunt the rarer
+# divergences the fixed pair can't hit; the default stays deterministic
+# for CI).
+_ENV_SEEDS = tuple(int(s) for s in
+                   os.environ.get("SPARK_GRAFT_DIFF_SEEDS", "").split(",")
+                   if s.strip())
+SEEDS = _ENV_SEEDS or (20260816, 20260817)
 
 
 def _money(rng, lo=-500.0, hi=5000.0):

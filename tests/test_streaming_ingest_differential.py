@@ -45,7 +45,16 @@ from redshift_to_lakehouse_migration_spark.streaming.ingest import (
 
 from test_medallion_differential import _gen, expect_silver
 
-SEEDS = (20260818, 20260819)
+import os
+
+# Default two independent draws per run; a SWEEP overrides via
+# SPARK_GRAFT_DIFF_SEEDS="s1,s2,..." (tools/seed sweeps hunt the rarer
+# divergences the fixed pair can't hit; the default stays deterministic
+# for CI).
+_ENV_SEEDS = tuple(int(s) for s in
+                   os.environ.get("SPARK_GRAFT_DIFF_SEEDS", "").split(",")
+                   if s.strip())
+SEEDS = _ENV_SEEDS or (20260818, 20260819)
 
 LINEAGE = ("_ingestion_timestamp", "_source_file", "_batch_id")
 
