@@ -45,6 +45,18 @@ def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine twin of `llm.similarity.cosine` (try_divide + nanvl →
+    NULL for a zero-norm vector).  NULLIF on the norm product, not a
+    bare `/`: duckdb 1.0.0 happens to return NULL for double 0/0, but
+    ≥1.1 defaults ieee_floating_point_ops=true (0.0/0.0 = NaN), and a
+    NaN sim would hijack rank 1 on an engine upgrade — same
+    version-proofing as the nation_market_share oracle (ADVICE r6 /
+    CHANGES_r7 §13)."""
+    return (f"round({_dot_sql(a, b)} / "
+            f"NULLIF({_norm_sql(a)} * {_norm_sql(b)}, 0), 9)")
+
+
 def _proj_sql(j: int) -> str:
     return "[" + ", ".join(repr(c) for c in PROJECTIONS[j]) + "]"
 
@@ -320,10 +332,8 @@ QUERIES = {
     "knn_ivfpq_refined": knn_ivfpq_refined,
 }
 
-_SIM = (f"round({_dot_sql('q.q_emb', 'e.embedding')} / "
-        f"({_norm_sql('q.q_emb')} * {_norm_sql('e.embedding')}), 9)")
-_SIM_AB = (f"round({_dot_sql('a.embedding', 'b.embedding')} / "
-           f"({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 9)")
+_SIM = _cos_sql("q.q_emb", "e.embedding")
+_SIM_AB = _cos_sql("a.embedding", "b.embedding")
 
 ORACLES = {
     "knn_bruteforce": f"""
@@ -371,9 +381,7 @@ ORACLES = {
             FROM embeddings WHERE vec_id % 64 = 0
         ), corpus_sim AS (
             SELECT e.vec_id, e.embedding, c.centroid_id,
-                   round({_dot_sql("e.embedding", "c.c_emb")} /
-                         ({_norm_sql("e.embedding")} *
-                          {_norm_sql("c.c_emb")}), 9) AS c_sim
+                   {_cos_sql("e.embedding", "c.c_emb")} AS c_sim
             FROM embeddings e CROSS JOIN cent c
         ), lists AS (
             SELECT vec_id, embedding, centroid_id FROM (
@@ -388,9 +396,7 @@ ORACLES = {
                 FROM corpus_sim WHERE vec_id % 50 = 0) WHERE r <= 2
         ), cand AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   MAX(round({_dot_sql("q.q_embedding", "c.embedding")} /
-                             ({_norm_sql("q.q_embedding")} *
-                              {_norm_sql("c.embedding")}), 9)) AS sim
+                   MAX({_cos_sql("q.q_embedding", "c.embedding")}) AS sim
             FROM probes q JOIN lists c USING (centroid_id)
             WHERE c.vec_id <> q.query_id
             GROUP BY 1, 2
