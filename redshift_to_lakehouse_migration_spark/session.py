@@ -34,6 +34,15 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # The 1 GiB default is sized for a cluster where a driver-sized
+    # collect is a bug; here the CORRECTNESS harness legitimately
+    # collects full query results to hash them against the DuckDB twin,
+    # and at the sf4 scale point a 24M-row staging result crosses 1 GiB
+    # of serialized task results — the job aborts and the fallout OOMs
+    # the session (measured: the r7 sf4 replica run died exactly there).
+    # 4 GiB keeps the guard (a runaway collect still dies loudly) while
+    # letting the gate run at every generated scale point.
+    "spark.driver.maxResultSize": "4g",
     "spark.ui.enabled": "false",
 }
 
