@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.curation import BENCH_MOD, NGRAM_N
-from ..queries.sampling import DEFAULT_CEILING, PACK_BUDGET, STRATUM_CEILING
+from ..queries.sampling import DEFAULT_CEILING, STRATUM_CEILING
 from .components import connected_components
 from .dedup import norm_text, ws_token_count
 
@@ -192,22 +192,12 @@ def stage_sample(clean: DataFrame) -> DataFrame:
 
 
 def stage_pack(sampled: DataFrame) -> DataFrame:
-    """Concat-and-chunk packing stats (same rule as `pack_sequences`)."""
-    from pyspark.sql import Window
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    binned = sampled.select(
-        "lang", "n_tokens",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens"))
-         .cast("long")).alias("start_offset"),
-    ).select("lang", "n_tokens",
-             F.expr(f"start_offset div {PACK_BUDGET}").alias("bin_id"))
-    return (
-        binned.groupBy("lang", "bin_id")
-        .agg(F.count("*").alias("docs_in_bin"),
-             F.sum("n_tokens").alias("bin_tokens"))
-        .orderBy("lang", "bin_id")
-    )
+    """Concat-and-chunk packing stats — THE shared rule
+    (`sampling.assign_pack_bins`), not a copy of it: a bin-rule edit in
+    the oracle-checked `pack_sequences` query must reach this runner
+    stage by construction."""
+    from ..queries.sampling import assign_pack_bins, pack_bin_stats
+    return pack_bin_stats(assign_pack_bins(sampled))
 
 
 STAGES = ("raw", "gated", "exact_dedup", "near_dup_canonical",

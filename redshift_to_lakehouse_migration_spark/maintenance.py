@@ -67,10 +67,25 @@ def compact_parquet(spark: SparkSession, path: str,
     n_written = sum(
         1 for root, _dirs, files in os.walk(tmp)
         for name in files if name.startswith("part-"))
-    # swap with crash-restore: if the second move fails, put the original
-    # back so a dataset always exists at `path`
+    # Swap with crash-restore: if the second move fails IN-PROCESS, the
+    # original is put back so a dataset always exists at `path`.  A hard
+    # KILL between the two moves is the one window this cannot cover on a
+    # plain filesystem (there is no atomic two-directory swap): the
+    # dataset then lives intact at `<path>__old` — recover by renaming it
+    # back.  The guard below turns that residue into a loud refusal on
+    # the NEXT run instead of `shutil.move` silently NESTING the live
+    # dataset inside the stale dir (after which the restore branch would
+    # resurrect stale data as the live table).  On object storage the
+    # equivalent is a Delta/Iceberg transactional commit, not a rename.
     import shutil
     back = path.rstrip("/") + "__old"
+    if os.path.exists(back):
+        raise RuntimeError(
+            f"compact_parquet: stale swap residue at {back} (a prior run "
+            f"was interrupted mid-swap). Recover manually: if {path} is "
+            f"missing, rename {back} back to it; if {path} is current, "
+            f"delete {back}. Refusing to guess — auto-deleting could "
+            f"drop the only surviving copy.")
     shutil.move(path, back)
     try:
         shutil.move(tmp, path)

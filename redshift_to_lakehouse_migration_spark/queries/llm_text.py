@@ -92,7 +92,6 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: score each language vocabulary per document,
     argmax with deterministic tie-break; compare against the lang label."""
     d = spread(load(spark, sf_dir, "documents"), spark)
-    low = F.lower(F.col("text"))
     scores = {k: word_run_count(F.col("text"), words)
               for k, words in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())

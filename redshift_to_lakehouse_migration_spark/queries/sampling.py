@@ -32,6 +32,39 @@ DEFAULT_CEILING = "80"
 PACK_BUDGET = 512
 
 
+def assign_pack_bins(toks: DataFrame, *carry: str) -> DataFrame:
+    """THE concat-and-chunk bin rule — one definition for every packer.
+
+    Documents lie end-to-end per language in doc_id order; a doc's bin is
+    its starting offset ``div PACK_BUDGET`` (window cumsum minus own
+    count). Shared by :func:`pack_sequences`, :func:`pack_sequences_rows`
+    and the corpus runner's ``stage_pack`` — the query/pipeline parity
+    contract (and the DuckDB oracle twins) depend on the copies never
+    drifting, so, as with ``gate_predicate``, there are no copies.
+
+    ``toks`` must carry (doc_id, lang, n_tokens); ``carry`` lists extra
+    payload columns to keep (e.g. doc_id/text for the materialized rows).
+    Output: (*carry, lang, n_tokens, bin_id).
+    """
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (toks
+            .select(*carry, "lang", "n_tokens",
+                    ((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                     .cast("long")).alias("start_offset"))
+            .select(*carry, "lang", "n_tokens",
+                    F.expr(f"start_offset div {PACK_BUDGET}")
+                    .alias("bin_id")))
+
+
+def pack_bin_stats(binned: DataFrame) -> DataFrame:
+    """Per-bin packing stats over :func:`assign_pack_bins` output."""
+    return (binned.groupBy("lang", "bin_id")
+            .agg(F.count("*").alias("docs_in_bin"),
+                 F.sum("n_tokens").alias("bin_tokens"))
+            .orderBy("lang", "bin_id"))
+
+
 def _doc_bucket() -> F.Column:
     """Deterministic 2-hex-char bucket for a document (uniform over 256)."""
     return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -117,24 +150,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL — a negative token count would corrupt every bin offset)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tokens = ws_token_count("text").cast("long")
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     toks = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-    binned = toks.select(
-        "lang", "n_tokens",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens"))
-         .cast("long")).alias("start_offset"),
-    ).select(
-        "lang", "n_tokens",
-        F.expr(f"start_offset div {PACK_BUDGET}").alias("bin_id"),
-    )
     return (
-        binned.groupBy("lang", "bin_id")
-        .agg(F.count("*").alias("docs_in_bin"),
-             F.sum("n_tokens").alias("bin_tokens"))
+        pack_bin_stats(assign_pack_bins(toks))
         .withColumn("fill_bps",
                     F.expr(f"bin_tokens * 10000 div {PACK_BUDGET}"))
-        .orderBy("lang", "bin_id")
     )
 
 
@@ -148,16 +168,9 @@ def pack_sequences_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded, matching pack_sequences (and the -1-vs-NULL engine delta)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tokens = ws_token_count("text").cast("long")
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    binned = (
-        d.select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
-        .select("doc_id", "lang", "text", "n_tokens",
-                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-                .cast("long").alias("start_offset"))
-        .select("doc_id", "lang", "text", "n_tokens",
-                F.expr(f"start_offset div {PACK_BUDGET}").alias("bin_id"))
-    )
+    binned = assign_pack_bins(
+        d.select("doc_id", "lang", "text", n_tokens.alias("n_tokens")),
+        "doc_id", "text")
     packed = (
         binned.groupBy("lang", "bin_id")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "text")))

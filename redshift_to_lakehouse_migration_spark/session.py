@@ -80,9 +80,20 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
 
     The correctness driver hands us its own SparkSession; timestamp-bearing
     queries depend on UTC rendering, so we pin what can be pinned at runtime.
+
+    A caller running a deliberate conf axis (the replica's ``--conf``
+    invariance sweeps: AQE off, broadcast off, non-UTC TZ) lists those
+    keys in ``spark.graft.confPinned`` (comma-joined) and this function
+    leaves them alone — without that contract the first ``tables.load``
+    would silently revert the axis back to DEFAULT_CONF and the sweep
+    would certify nothing.
     """
+    pinned = {k for k in
+              (spark.conf.get("spark.graft.confPinned", None) or "").split(",")
+              if k}
     for k in ("spark.sql.session.timeZone",):
-        spark.conf.set(k, DEFAULT_CONF[k])
+        if k not in pinned:
+            spark.conf.set(k, DEFAULT_CONF[k])
     # The remaining confs apply ONCE per session: tune_for_session runs on
     # every tables.load call, and re-pinning would silently clobber a
     # caller's own spark.conf.set between queries (a test disabling
@@ -106,6 +117,8 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.execution.arrow.pyspark.enabled",
     ):
+        if k in pinned:
+            continue
         try:
             spark.conf.set(k, DEFAULT_CONF[k])
         except Exception:

@@ -18,9 +18,12 @@ both expressed declaratively so Catalyst still sees one plan:
   problem adaptively at runtime — these helpers are the explicit form for
   when you know the skew ahead of time.
 
-The salt is `pmod(xxhash64(salt_from...), n_salts)` — deterministic, so
-retried tasks and resumed jobs salt identically (F.rand would break
-exactly-once sinks on retry).
+The salt is `pmod(xxhash64(salt_from..., spark_partition_id()), n_salts)`
+— deterministic under task retry (a recomputed partition re-reads the
+same rows with the same partition id; F.rand would break exactly-once
+sinks on retry), and the partition-id term keeps the split honest on
+BYTE-IDENTICAL hot rows (at-least-once redelivery, boilerplate spam),
+which a pure content hash would re-collapse onto a single salt.
 """
 
 from __future__ import annotations
@@ -34,9 +37,27 @@ from .aggspec import check_decomposable, partial_columns, recombine_columns
 def add_salt(df: DataFrame, n_salts: int,
              salt_from: list[str] | None = None,
              col_name: str = "__salt") -> DataFrame:
-    """Deterministic salt column in [0, n_salts): hash of ``salt_from``
-    columns (default: all columns)."""
-    src = [F.col(c) for c in (salt_from or df.columns)]
+    """Salt column in [0, n_salts): hash of ``salt_from`` columns
+    (default: ALL columns plus the input partition id).
+
+    The partition-id term exists for the mass-duplicate case: a hot key
+    whose rows are byte-identical across every column (at-least-once
+    redelivery, boilerplate rows) hashes to ONE salt under a pure content
+    hash, silently re-concentrating the exact group the salt was meant to
+    split. Mixing `spark_partition_id()` spreads those copies across the
+    partitions they arrived in while staying deterministic under task
+    retry (a recomputed partition re-reads the same rows with the same
+    id — unlike F.rand, which re-rolls and breaks exactly-once sinks).
+    Residual bound: identical rows WITHIN one input partition still share
+    a salt, so the worst straggler is one scan partition's worth of rows
+    (~maxPartitionBytes), not the whole hot key.
+
+    An explicit ``salt_from`` trades that coverage for salt values that
+    are stable across repartitionings of the same rows."""
+    if salt_from is None:
+        src = [*(F.col(c) for c in df.columns), F.spark_partition_id()]
+    else:
+        src = [F.col(c) for c in salt_from]
     return df.withColumn(
         col_name, F.pmod(F.xxhash64(*src), F.lit(n_salts)))
 

@@ -34,6 +34,21 @@ def stream_scd2(spark: SparkSession, changes: DataFrame, dim_path: str,
     import shutil
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        old = dim_path.rstrip("/") + "__old"
+        if os.path.exists(old):
+            # A prior batch was hard-killed mid-swap: the dim lives intact
+            # at `__old` (and possibly nothing at dim_path).  Fail the
+            # stream loudly with the recovery step — proceeding would
+            # either nest the live table inside the stale dir or merge
+            # against a missing path; after manual recovery the
+            # checkpoint replays this batch deterministically.
+            raise RuntimeError(
+                f"stream_scd2: stale swap residue at {old} (a prior "
+                f"micro-batch was interrupted mid-swap). Recover "
+                f"manually: if {dim_path} is missing, rename {old} back "
+                f"to it; if {dim_path} is current, delete {old}. The "
+                f"checkpoint will replay this batch after recovery.")
         if batch_df.isEmpty():
             return
         dim = spark.read.parquet(dim_path)
@@ -46,8 +61,10 @@ def stream_scd2(spark: SparkSession, changes: DataFrame, dim_path: str,
         # always exists at dim_path — otherwise the checkpointed replay
         # of this batch would fail forever on a missing read path.
         # Local-filesystem swap only (shutil); on object storage the
-        # equivalent is the Delta/Iceberg transactional commit.
-        old = dim_path.rstrip("/") + "__old"
+        # equivalent is the Delta/Iceberg transactional commit.  A hard
+        # kill between the two moves leaves the dim intact at `old` —
+        # the guard at the top of this function makes the replay fail
+        # loudly with the recovery step instead of nesting directories.
         shutil.move(dim_path, old)
         try:
             shutil.move(tmp, dim_path)

@@ -105,6 +105,45 @@ def test_tune_for_session_applies_runtime_confs(spark):
         "spark.sql.optimizer.excludedRules", "")
 
 
+def test_tune_for_session_respects_pinned_confs(spark):
+    """The conf-axis contract: keys listed in spark.graft.confPinned must
+    SURVIVE tune_for_session — the replica's --conf invariance sweeps
+    (AQE off, broadcast off, non-UTC TZ) run their queries through
+    tables.load, which calls tune_for_session; without the pin the very
+    first load would revert the axis to DEFAULT_CONF and the sweep would
+    certify nothing (false PASS)."""
+    from redshift_to_lakehouse_migration_spark.session import (
+        DEFAULT_CONF, tune_for_session)
+    saved_tuned = spark.conf.get("spark.graft.sessionTuned", None)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.unset("spark.graft.sessionTuned")
+        spark.conf.set(
+            "spark.graft.confPinned",
+            "spark.sql.shuffle.partitions,spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        tune_for_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert (spark.conf.get("spark.sql.session.timeZone")
+                == "America/New_York")
+        # unpinned keys still get the engine defaults
+        assert "InferFiltersFromGenerate" in spark.conf.get(
+            "spark.sql.optimizer.excludedRules", "")
+    finally:
+        spark.conf.unset("spark.graft.confPinned")
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
+        if saved_tuned is None:
+            spark.conf.unset("spark.graft.sessionTuned")
+        else:
+            spark.conf.set("spark.graft.sessionTuned", saved_tuned)
+        # restore the full tuned state for subsequent tests
+        spark.conf.unset("spark.graft.sessionTuned")
+        tune_for_session(spark)
+
+
 def test_dsum_corrupt_input_policy(spark):
     """Pin dsum's corrupt-input policy under Spark 4.1's default ANSI
     mode (found by a hostile-data oracle probe): non-finite doubles cast

@@ -30,6 +30,28 @@ def test_compaction_preserves_data(spark, tmp_path):
                      F.count("*")).collect()[0] == checksum
 
 
+def test_compaction_refuses_stale_swap_residue(spark, tmp_path):
+    """A prior run hard-killed between the two swap moves leaves the
+    dataset at `<path>__old`. The next run must refuse LOUDLY: blindly
+    re-swapping would shutil.move the live dir INSIDE the stale one
+    (nesting), and the restore branch would then resurrect stale data as
+    the live table. Auto-deleting is worse — `__old` may be the only
+    surviving copy."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    load(spark, SF, "region").write.parquet(path)
+    stale = path + "__old"
+    load(spark, SF, "nation").write.parquet(stale)
+
+    with _pytest.raises(RuntimeError, match="stale swap residue"):
+        compact_parquet(spark, path, target_mb=256)
+
+    # both directories untouched by the refusal
+    assert spark.read.parquet(path).count() == 5
+    assert spark.read.parquet(stale).count() == 25
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

@@ -43,6 +43,39 @@ def test_salt_scatters_hot_key(spark, skewed):
     assert n_buckets >= 8          # 900 rows over 16 salts must spread
 
 
+def test_salt_scatters_byte_identical_rows(spark):
+    # the mass-duplicate degeneracy: rows identical in EVERY column (at-
+    # least-once redelivery, boilerplate spam) hash to ONE salt under a
+    # pure content hash — the whole hot group lands on one reducer and
+    # the two-stage plan silently degrades to the unsalted cost. The
+    # partition-id term in the default salt must split copies that span
+    # input partitions.
+    dup = (spark.createDataFrame([("HOT", 1.0)] * 2000, "k string, v double")
+           .repartition(16))
+    n_buckets = add_salt(dup, 16).select("__salt").distinct().count()
+    assert n_buckets >= 8
+
+    # and the two-stage aggregate over the degenerate input still matches
+    # the direct groupBy exactly
+    salted = salted_groupby(dup, ["k"], 16,
+                            cnt=("*", "count"), total=("v", "sum"))
+    row = salted.collect()[0]
+    assert row.k == "HOT" and row.cnt == 2000 and row.total == 2000.0
+
+
+def test_salt_explicit_salt_from_stays_content_only(spark):
+    # explicit salt_from opts OUT of partition-id mixing: salt values must
+    # be a pure function of the named columns (stable across
+    # repartitionings of the same rows)
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(100)], "k string, n long")
+    a = {(r["k"], r["__salt"]) for r in
+         add_salt(df.repartition(4), 8, salt_from=["k"]).collect()}
+    b = {(r["k"], r["__salt"]) for r in
+         add_salt(df.repartition(13), 8, salt_from=["k"]).collect()}
+    assert a == b
+
+
 def test_salted_groupby_rejects_holistic(spark, skewed):
     with pytest.raises(ValueError, match="not decomposable"):
         salted_groupby(skewed, ["k"], 4, med=("v", "median"))

@@ -12,9 +12,14 @@ same Python classes for every column type the surface uses (date,
 datetime, Decimal, bool, int, float, str, bytes, list), so tagging is
 parity-neutral — asserted by the full suite staying green.
 
-Usage: python tools/check_correctness.py [--vanilla] [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--vanilla] [--conf k=v ...]
+       [sf_dir] [query ...]
   --vanilla: bare SparkSession (no engine confs), mirroring the external
   driver's own session — catches engine-conf-dependent results.
+  --conf k=v: extra Spark conf overlaid on the session — the
+  plan/semantics-invariance axes (spark.sql.ansi.enabled=false,
+  spark.sql.caseSensitive=true, AQE/codegen/broadcast toggles) all run
+  through this one flag, repeatable.
 """
 
 from __future__ import annotations
@@ -34,8 +39,25 @@ sys.path.insert(0, "/root/repo")
 # external driver builds its OWN session, so a query whose result
 # depended on any engine conf would pass the default replica yet fail
 # the driver; this flag is the parity check (r6: 98/98).
-_args = [a for a in sys.argv[1:] if a != "--vanilla"]
-VANILLA = "--vanilla" in sys.argv[1:]
+_raw = sys.argv[1:]
+VANILLA = "--vanilla" in _raw
+EXTRA_CONF: dict[str, str] = {}
+_args: list[str] = []
+_i = 0
+while _i < len(_raw):
+    a = _raw[_i]
+    if a == "--vanilla":
+        pass
+    elif a == "--conf":
+        _i += 1
+        if _i >= len(_raw) or "=" not in _raw[_i]:
+            print("ERROR: --conf requires k=v")
+            raise SystemExit(2)
+        k, _, v = _raw[_i].partition("=")
+        EXTRA_CONF[k] = v
+    else:
+        _args.append(a)
+    _i += 1
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
 
@@ -97,10 +119,27 @@ def main():
 
     if VANILLA:
         from pyspark.sql import SparkSession
-        spark = (SparkSession.builder.master("local[32]")
-                 .appName("check_correctness_vanilla").getOrCreate())
+        builder = (SparkSession.builder.master("local[32]")
+                   .appName("check_correctness_vanilla"))
+        for k, v in EXTRA_CONF.items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
     else:
-        spark = get_spark("check_correctness")
+        spark = get_spark("check_correctness", extra_conf=EXTRA_CONF)
+    if EXTRA_CONF:
+        # Pin the axis keys against tables.load -> tune_for_session,
+        # which would otherwise spark.conf.set() every runtime-settable
+        # engine default straight back before the first query runs —
+        # the sweep would then false-PASS without testing its axis.
+        spark.conf.set("spark.graft.confPinned", ",".join(EXTRA_CONF))
+        for k, v in EXTRA_CONF.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                # static conf: runtime set is refused, but the builder
+                # already applied it and this tool always launches a
+                # fresh JVM, so the axis did take effect
+                print(f"note: {k} is builder-time only (applied at launch)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -160,6 +199,22 @@ def main():
         else:
             print(f"PASS {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
+    axis_drift = []
+    for k, v in EXTRA_CONF.items():
+        try:
+            live = spark.conf.get(k)
+        except Exception:
+            continue  # builder-time-only conf: not runtime-readable
+        if live != v:
+            axis_drift.append(f"{k}={live!r} (wanted {v!r})")
+    if axis_drift:
+        # the sweep ran, but not on the axis it advertised — that is a
+        # FAIL of the run itself, not of any query
+        print("FAIL axis drift: " + "; ".join(axis_drift))
+        n_fail += 1
+    elif EXTRA_CONF:
+        print("axis held: " + ",".join(f"{k}={v}"
+                                       for k, v in EXTRA_CONF.items()))
     print(f"\n{n_pass} pass, {n_fail} fail / {len(names)} queries @ {SF_DIR}")
     spark.stop()
     return 1 if n_fail else 0
