@@ -54,6 +54,10 @@ def main() -> None:
     import re
     _m = re.search(r"sf([0-9]*\.?[0-9]+)$", sf_dir.rstrip("/"))
     sf = _m.group(1) if _m else os.path.basename(sf_dir.rstrip("/"))
+    try:
+        _sf_num = float(sf)
+    except ValueError:
+        _sf_num = None
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
 
@@ -169,7 +173,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {**timings, "medallion_pipeline_10k": pipeline_sec,
                     "corpus_prep_pipeline": corpus_sec},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # float() is the authority on parseability — an isdigit-style
+        # guard admits strings float() rejects ('0.1.2' from a basename
+        # fallback) and would crash the final print AFTER the whole run
+        "sf": _sf_num if _sf_num is not None else sf,
         "n_queries": len(timings),
         "reps": reps,
         # host-speed canary: identical synthetic work every round — to

@@ -113,6 +113,7 @@ def main() -> None:
         "speedup": round(t_exact / t_bloom, 2),
         "hits": r_exact["hits"],
     })
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -149,6 +149,28 @@ def main():
     n_pass = n_fail = 0
     for name in names:
         t0 = time.time()
+        if name not in ORACLES:
+            # rows-only contract still has a bar: a no-oracle query that
+            # regresses to empty output must fail loudly here.  count()
+            # instead of collect(): at generated large scale points a
+            # full-result collect is exactly the maxResultSize/OOM class
+            # the sf4 run died on, and non-emptiness doesn't need rows
+            # on the driver.
+            try:
+                n_rows = QUERIES[name](spark, SF_DIR).count()
+            except Exception as e:
+                print(f"FAIL {name}: spark error: {e}")
+                n_fail += 1
+                continue
+            if n_rows:
+                print(f"ROWS {name}: {n_rows} rows (no oracle) "
+                      f"[{time.time()-t0:.1f}s]")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: 0 rows (no oracle; rows-only check "
+                      f"requires non-empty output)")
+                n_fail += 1
+            continue
         try:
             sdf = QUERIES[name](spark, SF_DIR)
             s_cols = sdf.columns
@@ -156,18 +178,6 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
-            continue
-        if name not in ORACLES:
-            # rows-only contract still has a bar: a no-oracle query that
-            # regresses to empty output must fail loudly here
-            if s_rows:
-                print(f"ROWS {name}: {len(s_rows)} rows (no oracle) "
-                      f"[{time.time()-t0:.1f}s]")
-                n_pass += 1
-            else:
-                print(f"FAIL {name}: 0 rows (no oracle; rows-only check "
-                      f"requires non-empty output)")
-                n_fail += 1
             continue
         try:
             rel = con.sql(ORACLES[name])

@@ -166,7 +166,14 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
         texts.append(base_texts[src])
     for src in rng.integers(0, n_doc, n_near):
         toks = base_texts[src].split(" ")
-        toks[rng.integers(0, len(toks))] = VOCAB[rng.integers(0, len(VOCAB))]
+        pos = rng.integers(0, len(toks))
+        # a swap that resamples the SAME token would silently emit an
+        # extra exact dup (~1/31 per doc), skewing the exact/near split
+        # the dedup scaling ratios are read against — offset past it
+        repl = VOCAB[rng.integers(0, len(VOCAB))]
+        if repl == toks[pos]:
+            repl = VOCAB[(VOCAB.index(repl) + 1) % len(VOCAB)]
+        toks[pos] = repl
         texts.append(" ".join(toks))
     n_doc_total = len(texts)
     langs = np.array(LANGS)[rng.choice(5, n_doc_total, p=LANG_P)]
@@ -197,8 +204,12 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
     # key regeneration off it, so a killed-mid-run or pre-marker-era
     # directory is rebuilt instead of silently half-read. The content
     # identifies what was generated so a parameter change invalidates it.
+    # gen= is the GENERATOR version: bump it whenever the data-shaping
+    # logic changes (gen=2: near-dup swaps can no longer resample the
+    # identical token), so pre-fix directories regenerate instead of
+    # being silently consumed with the old distribution.
     with open(os.path.join(out_dir, "_GEN_COMPLETE"), "w") as f:
-        f.write(f"sf={sf} seed={seed}\n")
+        f.write(f"sf={sf} seed={seed} gen=2\n")
 
 
 if __name__ == "__main__":

@@ -9,6 +9,9 @@ HEAVY = ["knn_ivfpq_refined", "knn_ivfpq", "knn_pq_adc", "kmeans_clusters",
          "price_percentiles", "dedup_minhash_lsh", "market_basket_pairs",
          "knn_ivf", "corpus_funnel", "dedup_clusters"]
 
+if len(sys.argv) < 2:
+    print("usage: python tools/heavy_scale_probe.py <sf_dir>")
+    raise SystemExit(2)
 sf_dir = sys.argv[1]
 spark = get_spark("heavy_probe")
 spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -47,10 +47,10 @@ def main() -> None:
                 runs.append(round(time.perf_counter() - t0, 3))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    runs_sorted = sorted(runs)
-    median = runs_sorted[len(runs) // 2] if len(runs) % 2 else round(
-        (runs_sorted[len(runs) // 2 - 1] + runs_sorted[len(runs) // 2]) / 2, 3)
-    print(json.dumps({"median_s": median, "runs": runs}))
+    # ONE median definition repo-wide (bench._median): a second inline
+    # copy rounded differently and could drift from the shipped bench
+    from bench import _median
+    print(json.dumps({"median_s": _median(runs), "runs": runs}))
     spark.stop()
 
 
