@@ -7,10 +7,6 @@ import pytest
 
 from redshift_to_lakehouse_migration_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
-
-
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", master="local[4]",

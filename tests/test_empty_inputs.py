@@ -3,9 +3,9 @@ execute against EMPTY tables (0 rows, correct schemas) without raising —
 the day-one state of any new deployment, and the state a partition
 filter can produce for any date slice at 100 TB.
 
-Excluded: iterative trainers whose seed-selection contract requires a
-non-empty corpus (kmeans needs ≥1 centroid to be meaningful; it still
-must not crash, which is asserted separately).
+NOTHING is excluded: the sweep parametrizes over the full registry,
+including the iterative trainers (kmeans/IVF/PQ) — on an empty corpus
+they must return an empty result, not crash on an empty centroid seed.
 """
 
 from __future__ import annotations

@@ -49,8 +49,8 @@ def test_silver_filters_dirty_rows(pipeline_outputs):
     assert row.policyholder_name == "John Smith"   # trimmed + concat
     assert row.status == "ACTIVE"                  # upper∘trim
     assert row.email == "john@test.com"
-    hо5 = sp.filter("policy_id = 'POL-0000001'").collect()[0]
-    assert hо5.coverage_type_code == "HO5"         # uppercased
+    ho5 = sp.filter("policy_id = 'POL-0000001'").collect()[0]
+    assert ho5.coverage_type_code == "HO5"         # uppercased
 
 
 def test_silver_validation_fused(pipeline_outputs, spark):

@@ -245,5 +245,6 @@ def test_no_oracle_query_survives_hostile_db(name, spark, hostile_sf_dir):
     applies to them: no single hostile row may abort the job. Execute
     each against the hostile database; degenerate inputs may shrink the
     result, never crash it."""
-    rows = QUERIES[name](spark, hostile_sf_dir).collect()
-    assert rows is not None  # executed to completion under ANSI
+    # the check IS that collect() completes under ANSI without a
+    # job-abort; the result list may legitimately be empty on hostile data
+    QUERIES[name](spark, hostile_sf_dir).collect()

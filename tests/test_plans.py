@@ -91,10 +91,12 @@ def test_partition_pruning_on_partitioned_fact(spark, tmp_path):
     q = spark.read.parquet(path).filter(F.col("state") == "1")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "state" in plan
-    # only one of four partition directories is scanned
+    # only one of four partition directories is scanned — the plan must
+    # carry a real PartitionFilters entry on the state column (an
+    # `or "state#" in scan` fallback would be vacuously true for ANY
+    # plan touching the column, silencing a pruning regression)
     scan = q._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(state" in scan \
-        or "state#" in scan  # formatted fallback
+    assert "PartitionFilters: [isnotnull(state" in scan
     files = q.select(F.input_file_name().alias("f")).distinct().collect()
     assert all("state=1" in r.f for r in files)
 

@@ -62,7 +62,8 @@ def test_query_matches_oracle(name, spark, oracle_con):
     sdf = QUERIES[name](spark, SF_DIR)
     s_rows = [tuple(r) for r in sdf.collect()]
     if name not in ORACLES:
-        assert len(s_rows) >= 0  # rows-only contract
+        # rows-only contract: the check IS that collect() completed;
+        # non-emptiness at driver scale is the replica/driver's gate
         return
     rel = oracle_con.sql(ORACLES[name])
     d_rows = rel.fetchall()
@@ -108,9 +109,14 @@ def test_hll_estimates_bounded(spark):
     sf = "/root/testdata/sf0.01"
     rows = events_daily_unique_users_hll(spark, sf).collect()
     e = load(spark, sf, "events")
+    # cast the twin's key to timestamp_ntz BEFORE collecting: the query
+    # returns NTZ days (utc_ntz), while collecting an LTZ timestamp
+    # converts through the driver's host timezone — on a non-UTC host
+    # the dict keys would shift by the offset and every lookup KeyErrors
     exact_by_day = {
         r.day: r.exact for r in
-        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        e.groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz")
+                  .alias("day"))
         .agg(F.countDistinct("user_id").alias("exact")).collect()}
     total = e.count()
     checked = 0

@@ -136,11 +136,16 @@ def test_null_event_time_drops_identically_in_stream_and_batch(
     assert streamed == batch
 
 
-def test_session_windows_batch_equivalence(spark):
+def test_session_windows_conserve_events(spark):
+    """Conservation ONLY: every event lands in exactly one session (a
+    dropped or double-counted event flips the sum). The actual
+    stream≡batch session-window equivalence — what a forked semantics
+    would break — is proven bit-exact on the hostile envelope in
+    test_streaming_hostile.py."""
     events = load(spark, SF, "events")
     sessions = windows.user_sessions(events)
     agg = sessions.agg(F.sum("event_count").alias("n")).collect()[0]
-    assert agg.n == events.count()  # every event lands in exactly one session
+    assert agg.n == events.count()
 
 
 def test_stateful_running_user_stats(spark, tmp_path):
@@ -306,7 +311,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                         right_ts="ts")
     q = (out.writeStream.format("memory").queryName("ssjoin")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out -> partial sink
     got = {(r.l_key, r.l_event_id, r.r_event_id)
            for r in spark.sql("SELECT * FROM ssjoin").collect()}
     assert got == expected
@@ -322,7 +327,12 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         .limit(50)
     land = tmp_path / "dupland"
     base.write.parquet(str(land / "f1"))
-    base.limit(20).write.parquet(str(land / "f2"))  # redelivered subset
+    # the redelivered subset must come from the MATERIALIZED f1, not a
+    # re-execution of the source plan: limit() without an order carries
+    # no cross-execution determinism guarantee, so `base.limit(20)`
+    # could pick rows f1 doesn't contain and break the 50-unique claim
+    spark.read.parquet(str(land / "f1")).limit(20) \
+        .write.parquet(str(land / "f2"))
 
     src = (spark.readStream.schema(base.schema)
            .option("maxFilesPerTrigger", 1)
@@ -330,7 +340,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     deduped = dedup_stream(src, ["event_id"], "ts", watermark="10 years")
     q = (deduped.writeStream.format("memory").queryName("dedupstream")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out -> partial sink
     got = spark.sql("SELECT event_id FROM dedupstream").collect()
     assert len(got) == 50  # 70 delivered rows -> 50 unique events
     assert len({r.event_id for r in got}) == 50
@@ -364,7 +374,7 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
              .outputMode("append")
              .option("checkpointLocation", target_ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)  # False = timed out -> partial sink
 
     # batch 1: two rows in the 10:00 window + a 13:00 row that advances
     # the watermark to 12:30, finalizing the 10:00 window at count 2
