@@ -58,82 +58,89 @@ for _m in _MODULES:
 # The external driver's per-round correctness gate samples the FIRST 50
 # registry entries (verified: CORRECTNESS_r02 keys == first 50 of round-2
 # iteration order).  Registry iteration order is therefore part of the
-# driver contract.  Round-7 rotation (VERDICT r6 directive #1): the r6
-# sample re-proved the LLM/text/ANN/events half (42/42 oracle-green +
-# 8 declared rows-only, CORRECTNESS_r06), but the 48 queries it did NOT
-# sample are exactly the set whose oracles/semantics the r6 differential
-# program rewrote after their r5 driver rows: engine-side
-# nation_market_share (try_divide), dim_priority + audit_anomalous_access
-# (try_cast), events_json_props, events_hourly_by_type / events_sessionized
-# / events_sliding_windows (NULL-ts twin + utc_ntz), the six
-# queries/windows.py entries and masked_customers (oracle NULL-ordering /
-# `||` twins), and the stg_*/dim_* trim-twin sites.  This round
-# front-loads all 48 so every query's newest driver row post-dates its
-# newest change.  The two carryover slots are FORCED, not judge-suggested:
-# round 7's ADVICE fix widened the shared governance `_LOG` oracle's
-# integral-guard trim set, which changes the oracles of
-# audit_object_access and audit_principal_last7d too — leaving them
-# unsampled would recreate the exact see-saw this rotation closes, so
-# they take the carryover slots (replacing the suggested token_count_bpe
-# / knn_lsh_bucketed, whose r6 rows already post-date their last change
-# and which round 7 does not touch).  Order is cheapest-first (r6 sf0.1
-# bench medians where benched, replica timings otherwise) so an early
+# driver contract.
+#
+# Round-8 rotation is MACHINE-DERIVED (VERDICT r7 directive #2): three
+# rounds of hand-rotation each left a "see-saw remainder" — post-rotation
+# edits to queries the next sample did not cover.  `tools/staleness.py`
+# now derives the sample from git: it maps every query to its defining
+# source spans (query fn closure + oracle statement + every module-level
+# name the oracle f-string interpolates, transitively), blames each span
+# for its newest commit, and compares against the snapshot commit of the
+# query's newest green CORRECTNESS round.  On the r7 artifacts it found
+# 14 stale queries — the judge's see-saw list (0e31103 cosine-NULLIF:
+# knn_bruteforce/knn_ivf/knn_lsh_bucketed/dedup_embedding_cosine;
+# e792cd7 shared pack rule: pack_sequences; corpus_prep/corpus_funnel)
+# MINUS ann_lsh_buckets (its oracle VALUE is byte-identical across
+# 0e31103 — the judge over-listed; verified by evaluating ORACLES at both
+# commits) PLUS seven the hand-rotation also missed: 62474ff
+# ("fix four r6 advice items", pre-rotation but post-r6-snapshot)
+# version-proofed oracles of text_stats/token_count_bpe/token_histogram/
+# dq_documents/dedup_exact/dedup_ngram_jaccard/dedup_clusters, none
+# r7-sampled.  Those 14 lead this sample; the remaining 36 slots are the
+# least-recently-sampled fresh queries (all r6).  Spans shared by more
+# queries than the sample holds (session.py get_spark, tables.py load;
+# coverage 95/98) are excluded from per-query staleness — a change there
+# can never be covered by a 50-slot sample and is gated by the in-repo
+# full replica instead.  tests/test_staleness.py asserts stale ⊆ this
+# tuple on every suite run, so a late edit that misses the sample fails
+# pytest instead of surfacing in next round's verdict.  Order is
+# cheapest-first within each tier (r7 sf0.1 bench medians) so an early
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # sub-0.5 s tier
-    "dq_accepted_values",
+    # -- stale tier: newest change post-dates newest driver row --
+    "pack_sequences",
+    "token_count_bpe",
+    "text_stats",
+    "token_histogram",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh_bucketed",
+    "corpus_prep",
+    "dq_documents",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "corpus_funnel",
+    # -- refresh tier: fresh but least-recently-sampled (34 with newest
+    # row r6, plus stg_customer / dq_accepted_values as cheap r7 fill) --
     "stg_customer",
-    "dim_date",
-    "customers_without_orders",
-    "dim_priority",
-    "dq_orphan_lineitems",
-    "masked_customers",
-    "order_status_histogram",
-    "order_price_histogram",
-    "dim_part",
-    "events_json_props",
-    "order_version_history",
-    "events_hourly_by_type",
-    "user_daily_activity",
-    "pack_sequences_rows",
-    "audit_anomalous_access",
-    "supplier_region_summary",
-    "segment_priority_pivot_dynamic",
-    # 0.5-1 s tier (the two forced audit carryovers land here)
-    "audit_object_access",
-    "stg_lineitem",
-    "latest_order_per_customer",
-    "segment_status_pivot",
-    "sql_api_pricing_summary",
-    "returned_or_open_orders",
-    "status_priority_cube",
-    "audit_principal_last7d",
-    "events_sliding_windows",
-    "order_rank_in_segment",
-    "revenue_rollup",
-    "fact_orders",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "orders_above_customer_average",
-    "events_salted_type_totals",
-    "dq_duplicate_keys",
-    "order_value_distribution",
-    "dim_customer",
-    "q5_region_supplier_volume",
-    "nation_market_share",
-    # 1 s+ tier, ascending — price_percentiles (exact holistic
-    # percentile, the heaviest by 1.7x) runs dead last
-    "events_sessionized",
-    "price_percentiles_approx",
-    "customer_running_revenue",
-    "recon_metrics_unpivot",
-    "premium_payment_summary",
-    "recon_global_aggregates",
-    "fuzzy_customer_pairs",
-    "part_brand_revenue",
-    "top_customers_by_revenue",
-    "market_basket_pairs",
-    "price_percentiles",
+    "sample_stratified",
+    "sample_per_stratum",
+    "stg_orders",
+    "mix_datasets",
+    "lang_id",
+    "media_decode_stub",
+    "masked_dim_customer_view",
+    "kmeans_clusters",
+    "knn_pq_adc",
+    "knn_ivfpq",
+    "knn_ivfpq_refined",
+    "fact_lineitem",
+    "agg_pricing_summary",
+    "customer_order_gaps",
+    "events_asof_purchase",
+    "events_error_after_click",
+    "events_daily_from_hourly",
+    "events_daily_unique_users_hll",
+    "events_conversion_funnel",
+    "events_json_typed",
+    "events_retention_cohorts",
+    "events_rolling_hour_range",
+    "events_daily_anomalies",
+    "event_path_trigrams",
+    "doc_fingerprint",
+    "doc_repetition_filter",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "ann_lsh_buckets",
+    "embedding_stats",
+    "binary_metadata",
+    "frame_sample_plan",
+    "contamination_check",
+    "dq_accepted_values",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]

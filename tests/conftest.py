@@ -7,6 +7,11 @@ import pytest
 
 from redshift_to_lakehouse_migration_spark.session import get_spark
 
+# Smallest driver-generated scale factor; the bloom-identity tests read the
+# real documents/embeddings parquet rather than synthesizing rows.
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", master="local[4]",
