@@ -85,6 +85,7 @@ def main() -> None:
     canary()  # untimed: the first canary pays groupBy/sort codegen init
     # (measured 6.4 s vs 2.8 s steady-state) — timing it would fold JIT
     # warmup into the host-speed signal
+    run_start = time.perf_counter()
     canary_first = canary()
 
     def run_once(name: str) -> float:
@@ -97,8 +98,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # per-entry start offset from the first timed canary (VERDICT r7 #4):
+    # the r6/r7 "regressions" were end-of-run entries on a drifting host,
+    # attributed only by alphabetical inference; with each entry's start
+    # offset in the artifact, canary drift maps onto entries mechanically
+    started: dict[str, float] = {}
     subsec_reps = max(reps, 7)
     for name in sorted(QUERIES):
+        started[name] = round(time.perf_counter() - run_start, 1)
         runs = [run_once(name) for _ in range(reps)]
         if _median(runs) < 1.0:
             # sub-second tier: extend to a median of 7 — these entries'
@@ -130,6 +137,8 @@ def main() -> None:
     pipeline_runs = []
     try:
         datagen.generate(f"{tmp}/raw", n_policies=10_000, seed=42)
+        started["medallion_pipeline_10k"] = round(
+            time.perf_counter() - run_start, 1)
         for rep in range(reps):
             t0 = time.perf_counter()
             pipe = build_medallion_pipeline(spark, f"{tmp}/raw",
@@ -152,6 +161,8 @@ def main() -> None:
 
     corpus_runs = []
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    started["corpus_prep_pipeline"] = round(
+        time.perf_counter() - run_start, 1)
     for rep in range(reps):
         tmp2 = tempfile.mkdtemp(prefix="corpus_bench_")
         try:
@@ -186,6 +197,12 @@ def main() -> None:
         "canary_s": _median([canary_first, canary_last]),
         "canary_first_s": canary_first,
         "canary_last_s": canary_last,
+        # start offset of each entry (sec after the first timed canary
+        # began) — join against canary_first/last to place any apparent
+        # regression on the in-run drift curve without forensics
+        "entry_started_s": started,
+        "canary_last_started_s": round(
+            time.perf_counter() - run_start - canary_last, 1),
         # spread = (max-min)/median across an entry's reps; summarized
         # for the sub-second tier (median of 7 there), full map omitted
         # to keep the line one screen wide

@@ -45,9 +45,22 @@ def add_salt(df: DataFrame, n_salts: int,
     redelivery, boilerplate rows) hashes to ONE salt under a pure content
     hash, silently re-concentrating the exact group the salt was meant to
     split. Mixing `spark_partition_id()` spreads those copies across the
-    partitions they arrived in while staying deterministic under task
-    retry (a recomputed partition re-reads the same rows with the same
-    id — unlike F.rand, which re-rolls and breaks exactly-once sinks).
+    partitions they arrived in.
+
+    Retry-determinism caveat (ADVICE r7): `spark_partition_id()` is
+    Catalyst-nondeterministic, so the retry-stability argument (a
+    recomputed task re-reads the same rows with the same id — unlike
+    F.rand, which re-rolls per attempt) holds only when the UPSTREAM
+    partitioning is itself deterministic: a file scan, a hash
+    repartition on deterministic keys, or a deterministic transform
+    chain.  After a round-robin `repartition(n)` or an AQE replan of an
+    indeterminate stage, a recomputed map task can receive different
+    rows than the attempt whose shuffle outputs were already fetched;
+    Spark handles that case by resubmitting the whole stage
+    (indeterminate-stage rollback, SPARK-23207), which keeps results
+    consistent but is a heavier recovery than per-task retry.  Callers
+    feeding a salted agg from a round-robin repartition who need cheap
+    per-task retry should pass an explicit ``salt_from`` instead.
     Residual bound: identical rows WITHIN one input partition still share
     a salt, so the worst straggler is one scan partition's worth of rows
     (~maxPartitionBytes), not the whole hot key.

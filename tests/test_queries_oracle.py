@@ -95,16 +95,27 @@ def test_approx_percentiles_bounded(spark):
             assert abs(av - ev) <= 0.01 * abs(ev), (flag, col, ev, av)
 
 
-def test_hll_estimates_bounded(spark):
-    """HLL sketch estimates (no oracle) must land within 5% of the exact
-    distinct count, and the merged-month sketch must equal the estimate
-    over raw rows (merge-correctness of the sketch)."""
+def test_hll_estimates_within_3x_configured_rsd_of_exact(spark):
+    """HLL sketch estimates (no oracle) must land within 3x the sketch's
+    configured relative standard deviation of the exact distinct count
+    computed side-by-side in this test — rsd = 1.04/sqrt(2^lgConfigK)
+    with Spark's default lgConfigK=12, so the bound is 3 x 1.625% =
+    4.875% (the 99.7% confidence band), with a +-1 integer-rounding
+    floor.  At sf0.01 the daily cardinalities (~150) sit in the sketch's
+    sparse-exact regime, so the observed error is 0 and the bound is
+    far from flaky while still failing on any silent estimator
+    regression.  The merged-month row additionally proves sketch
+    merge-correctness (hll_union_agg over the daily sketches vs a
+    distinct over raw rows)."""
     from pyspark.sql import functions as F
 
     from redshift_to_lakehouse_migration_spark.queries.events import (
         events_daily_unique_users_hll,
     )
     from redshift_to_lakehouse_migration_spark.tables import load
+
+    rsd = 1.04 / (2 ** 12) ** 0.5     # Spark default lgConfigK=12
+    bound = 3 * rsd                   # 0.04875
 
     sf = "/root/testdata/sf0.01"
     rows = events_daily_unique_users_hll(spark, sf).collect()
@@ -125,7 +136,8 @@ def test_hll_estimates_bounded(spark):
             exact = e.select("user_id").distinct().count()
         else:
             exact = exact_by_day[r.day]
-        assert abs(r.approx_users - exact) <= max(2, 0.05 * exact), r
+        assert abs(r.approx_users - exact) <= max(1, bound * exact), (
+            r, exact, bound)
         checked += 1
     assert checked == len(exact_by_day) + 1
 

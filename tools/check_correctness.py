@@ -151,13 +151,21 @@ def main():
         t0 = time.time()
         if name not in ORACLES:
             # rows-only contract still has a bar: a no-oracle query that
-            # regresses to empty output must fail loudly here.  count()
-            # instead of collect(): at generated large scale points a
-            # full-result collect is exactly the maxResultSize/OOM class
-            # the sf4 run died on, and non-emptiness doesn't need rows
-            # on the driver.
+            # regresses to empty output must fail loudly here.  No driver
+            # collect (at generated large scale points a full-result
+            # collect is exactly the maxResultSize/OOM class the sf4 run
+            # died on) — but not bare count() either: Catalyst prunes
+            # unreferenced output projections under count(), so an
+            # expression that crashes only when evaluated (e.g. an ANSI
+            # cast in an output column) would sail through the
+            # 'spark error -> FAIL' gate (ADVICE r7).  The noop sink
+            # converts every output column to InternalRow, forcing full
+            # expression evaluation with zero driver memory; count()
+            # afterwards is then a cheap row-cardinality read.
             try:
-                n_rows = QUERIES[name](spark, SF_DIR).count()
+                df = QUERIES[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                n_rows = df.count()
             except Exception as e:
                 print(f"FAIL {name}: spark error: {e}")
                 n_fail += 1
