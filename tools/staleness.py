@@ -91,6 +91,28 @@ def blame_lines(relpath: str) -> list[tuple[str, int]]:
 
 
 @lru_cache(maxsize=None)
+def docstring_lines(relpath: str) -> frozenset[int]:
+    """Line numbers occupied by module/class/function docstrings.
+    Docstring edits are non-semantic; without this exclusion a
+    documentation pass over a shared helper (e.g. the r8 add_salt
+    retry-determinism caveat) would churn its dependent queries into
+    the sample for nothing."""
+    with open(os.path.join(REPO, relpath)) as f:
+        tree = ast.parse(f.read())
+    lines: set[int] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.FunctionDef,
+                             ast.AsyncFunctionDef, ast.ClassDef)):
+            body = getattr(node, "body", [])
+            if (body and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)):
+                lines.update(range(body[0].lineno,
+                                   body[0].end_lineno + 1))
+    return frozenset(lines)
+
+
+@lru_cache(maxsize=None)
 def dirty_files() -> frozenset[str]:
     out = _git("status", "--porcelain")
     paths = set()
@@ -113,7 +135,11 @@ def newest_commit_for_spans(
         if relpath in dirty_files():
             dirty = True
         lines = blame_lines(relpath)
-        for sha, _t in lines[max(0, start - 1):end]:
+        doc = docstring_lines(relpath)
+        for lineno in range(max(1, start), min(end, len(lines)) + 1):
+            if lineno in doc:
+                continue
+            sha, _t = lines[lineno - 1]
             pos = order.get(sha, -1)  # unknown sha: treat as newest
             if pos < best_pos:
                 best_sha, best_pos = sha, pos
@@ -283,6 +309,50 @@ def _source_span(obj) -> tuple[str, int, int] | None:
     return (_relpath(path), start, start + len(lines) - 1)
 
 
+def _local_imports(fn) -> list[tuple[object, str]]:
+    """(resolved object, original name) for every function-LOCAL
+    ImportFrom targeting a package module.  These never appear in
+    fn.__globals__ (they bind at call time), so the globals-based name
+    resolution is blind to them — `from ..skew import salted_groupby`
+    inside a query fn was invisible until this pass (found live: the
+    skew.py edit did not mark events_salted_type_totals stale)."""
+    import importlib
+    import textwrap
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    out: list[tuple[types.ModuleType, object, str]] = []
+    mod_parts = fn.__module__.split(".")
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom):
+            continue
+        if node.level:
+            base = mod_parts[:-node.level]
+        else:
+            base = []
+        target = ".".join(filter(None, [*base, node.module or ""]))
+        if not target.startswith(PKG_NAME):
+            continue
+        try:
+            mod = importlib.import_module(target)
+        except ImportError:
+            continue
+        for alias in node.names:
+            obj = getattr(mod, alias.name, None)
+            if obj is None:
+                # `from ..llm import kmeans` where the submodule was never
+                # imported in this process: the package has no attribute
+                # until the submodule import runs — run it
+                try:
+                    obj = importlib.import_module(
+                        f"{target}.{alias.name}")
+                except ImportError:
+                    continue
+            out.append((mod, obj, alias.name))
+    return out
+
+
 def closure_spans(fn) -> set[tuple[str, int, int]]:
     """Spans of fn + every package function/class it transitively reaches,
     plus module-level constants its code names."""
@@ -340,6 +410,23 @@ def closure_spans(fn) -> set[tuple[str, int, int]]:
                 if nm in defs:
                     start, end, _refs = defs[nm]
                     spans.add((mod_rel, start, end))
+        # function-local `from ..x import y` bindings (not in globals)
+        for src_mod, obj, orig in _local_imports(cur):
+            if isinstance(obj, types.ModuleType):
+                if _in_package(getattr(obj, "__file__", None)):
+                    pkg_modules.append(obj)
+            elif inspect.isfunction(obj) or inspect.isclass(obj):
+                if _in_package(
+                        getattr(sys.modules.get(obj.__module__), "__file__",
+                                None)):
+                    work.append(obj)
+            elif _in_package(getattr(src_mod, "__file__", None)):
+                # locally-imported module-level constant
+                src_rel = _relpath(src_mod.__file__)
+                defs, _, _ = module_ast_maps(src_rel)
+                if orig in defs:
+                    start, end, _refs = defs[orig]
+                    spans.add((src_rel, start, end))
         # attribute access through package modules (`quality.run_checks`)
         for mod in pkg_modules:
             m_rel = _relpath(mod.__file__)
