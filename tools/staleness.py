@@ -514,13 +514,35 @@ def audit() -> tuple[dict[str, dict], dict]:
     return report, global_report
 
 
+def _bench_costs() -> dict[str, float]:
+    """Per-query medians from the newest BENCH_r*.json (the driver stores
+    the emitted JSON line in a possibly-truncated `tail` field, so parse
+    name/number pairs by regex).  Used only to order tiers cheap-first —
+    missing entries sort last within their tier."""
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as f:
+            tail = json.load(f).get("tail", "")
+    except (json.JSONDecodeError, OSError):
+        return {}
+    return {m.group(1): float(m.group(2)) for m in
+            re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)}
+
+
 def suggest_priority(report: dict[str, dict],
                      size: int = SAMPLE_SIZE) -> list[str]:
-    """Stale-first, then least-recently-sampled, cheap ordering untouched."""
+    """Stale-first, then least-recently-sampled; cheapest-first within
+    each tier (newest bench medians) so an early driver timeout costs
+    the fewest rows."""
     from redshift_to_lakehouse_migration_spark.queries import QUERIES
-    stale = [n for n in QUERIES if report[n]["stale"]]
+    costs = _bench_costs()
+    stale = sorted((n for n in QUERIES if report[n]["stale"]),
+                   key=lambda n: costs.get(n, float("inf")))
     rest = sorted((n for n in QUERIES if not report[n]["stale"]),
-                  key=lambda n: (report[n]["newest_round"] or -1))
+                  key=lambda n: ((report[n]["newest_round"] or -1),
+                                 costs.get(n, float("inf"))))
     return (stale + rest)[:size]
 
 
