@@ -1,0 +1,196 @@
+"""Canary-normalized cross-round bench comparison (VERDICT r7 #4).
+
+Every verdict r4–r7 re-derived the same forensics by hand: which
+per-entry deltas are code-attributable and which are host drift.  The
+bench has shipped the inputs since r7 (pinned-canary timings) and r8
+(per-entry start offsets, complete medians in BENCH_FULL_LATEST.json);
+this tool mechanizes the comparison:
+
+    python tools/bench_compare.py OLD NEW [--top K] [--json]
+
+OLD/NEW each accept any artifact shape that has existed:
+  - a FULL artifact (BENCH_FULL_LATEST.json schema — complete
+    `queries`/`entry_started_s` maps + canary trio),
+  - a recorder artifact (BENCH_r*.json: `parsed` when the stdout line
+    fit the recorder's 2000-char tail, else the truncated `tail`
+    scraped by regex — the r2–r7 regime, where only the
+    alphabetically-last ~58 medians survive),
+  - a raw one-line bench stdout capture.
+
+Per common entry it reports the raw ratio new/old and two normalized
+views:
+  - `norm`: divided by the run-level canary ratio (median canary) —
+    the defensible cross-round scalar;
+  - `norm_local`: divided by the DRIFT-LOCAL canary ratio — each
+    side's canary speed linearly interpolated at the entry's start
+    offset between canary_first (t=0) and canary_last
+    (t=canary_last_started_s).  This is what places an entry on the
+    in-run drift curve: the r7 driver run degraded 1.27 s → 18.03 s
+    in-run, so end-of-run entries carry up to 14x host inflation that
+    the run-level median cannot see.  Falls back to `norm` when either
+    side lacks offsets (pre-r8 artifacts).
+
+The summary line reports the median normalized ratio over common
+entries and flags entries whose `norm_local` exceeds the noise floor
+(sub-second entries have measured cross-round spread ~±40%; the floor
+is configurable via --floor, default 1.4 for sub-second and 1.25
+above).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+META_KEYS = {
+    "value", "sf", "n_queries", "reps", "canary_s", "canary_first_s",
+    "canary_last_s", "canary_last_started_s", "subsec_entries",
+    "subsec_spread_median", "subsec_spread_max", "queries_omitted",
+    "n", "rc", "cpus",
+}
+
+
+def _from_parsed(parsed: dict) -> dict:
+    return {
+        "queries": dict(parsed.get("queries", {})),
+        "started": dict(parsed.get("entry_started_s", {})),
+        "canary": parsed.get("canary_s"),
+        "canary_first": parsed.get("canary_first_s"),
+        "canary_last": parsed.get("canary_last_s"),
+        "canary_last_started": parsed.get("canary_last_started_s"),
+        "sf": parsed.get("sf"),
+    }
+
+
+def _scrape_tail(tail: str) -> dict:
+    """Best-effort recovery from a truncated stdout tail: name/number
+    pairs become medians EXCEPT known meta keys; pairs after the
+    `entry_started_s` key are offsets, not medians."""
+    med_part, _, rest = tail.partition('"entry_started_s"')
+    pairs = [(m.group(1), float(m.group(2))) for m in
+             re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', med_part)]
+    meta = {k: v for k, v in pairs if k in META_KEYS}
+    queries = {k: v for k, v in pairs if k not in META_KEYS}
+    started = {}
+    if rest:
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', rest):
+            k, v = m.group(1), float(m.group(2))
+            if k in META_KEYS:
+                meta.setdefault(k, v)
+            else:
+                started[k] = v
+    return {
+        "queries": queries,
+        "started": started,
+        "canary": meta.get("canary_s"),
+        "canary_first": meta.get("canary_first_s"),
+        "canary_last": meta.get("canary_last_s"),
+        "canary_last_started": meta.get("canary_last_started_s"),
+        "sf": meta.get("sf"),
+    }
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # raw stdout capture: the bench line is the last non-empty line
+        line = [ln for ln in text.splitlines() if ln.strip()][-1]
+        return _from_parsed(json.loads(line))
+    if "queries" in doc:  # full artifact or compact line saved to a file
+        return _from_parsed(doc)
+    if isinstance(doc.get("parsed"), dict):  # recorder, line fit whole
+        return _from_parsed(doc["parsed"])
+    return _scrape_tail(doc.get("tail", ""))  # recorder, truncated
+
+
+def _local_canary(side: dict, offset: float | None) -> float | None:
+    """Host speed at `offset` seconds into the run: linear interpolation
+    between the first and last canary timings."""
+    first, last = side.get("canary_first"), side.get("canary_last")
+    span = side.get("canary_last_started")
+    if offset is None or first is None or last is None or not span:
+        return None
+    frac = min(max(offset / span, 0.0), 1.0)
+    return first + (last - first) * frac
+
+
+def compare(old: dict, new: dict, floor_sub: float = 1.4,
+            floor_big: float = 1.25) -> dict:
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    canary_ratio = None
+    if old.get("canary") and new.get("canary"):
+        canary_ratio = new["canary"] / old["canary"]
+    rows = []
+    for name in common:
+        o, n = old["queries"][name], new["queries"][name]
+        if not o:
+            continue
+        raw = n / o
+        norm = raw / canary_ratio if canary_ratio else raw
+        lo = _local_canary(old, old["started"].get(name))
+        ln_ = _local_canary(new, new["started"].get(name))
+        norm_local = raw / (ln_ / lo) if (lo and ln_) else norm
+        floor = floor_sub if max(o, n) < 1.0 else floor_big
+        rows.append({
+            "entry": name, "old_s": o, "new_s": n,
+            "raw": round(raw, 3), "norm": round(norm, 3),
+            "norm_local": round(norm_local, 3),
+            "flag": norm_local > floor,
+        })
+    norms = sorted(r["norm"] for r in rows)
+    mid = (norms[len(norms) // 2] if len(norms) % 2 else
+           (norms[len(norms) // 2 - 1] + norms[len(norms) // 2]) / 2) \
+        if norms else None
+    return {
+        "common_entries": len(rows),
+        "canary_ratio": round(canary_ratio, 3) if canary_ratio else None,
+        "median_norm_ratio": round(mid, 3) if mid is not None else None,
+        "flagged": [r for r in rows if r["flag"]],
+        "rows": rows,
+        "sf_old": old.get("sf"), "sf_new": new.get("sf"),
+    }
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv if not a.startswith("--")]
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    top = 10
+    for i, a in enumerate(argv):
+        if a == "--top":
+            top = int(argv[i + 1])
+    result = compare(load(args[0]), load(args[1]))
+    if result["sf_old"] != result["sf_new"]:
+        print(f"WARNING: comparing sf={result['sf_old']} against "
+              f"sf={result['sf_new']} — per-entry ratios mix scales")
+    if "--json" in argv:
+        out = dict(result)
+        out["rows"] = sorted(out["rows"], key=lambda r: -r["norm_local"])
+        print(json.dumps(out))
+        return 0
+    print(f"common entries: {result['common_entries']}   "
+          f"canary ratio (new/old): {result['canary_ratio']}   "
+          f"median canary-normalized ratio: {result['median_norm_ratio']}")
+    rows = sorted(result["rows"], key=lambda r: -r["norm_local"])
+    print(f"{'entry':<38}{'old_s':>8}{'new_s':>8}{'raw':>7}"
+          f"{'norm':>7}{'local':>7}  flag")
+    for r in rows[:top] + [None] + rows[-3:]:
+        if r is None:
+            print("  ...")
+            continue
+        print(f"{r['entry']:<38}{r['old_s']:>8.3f}{r['new_s']:>8.3f}"
+              f"{r['raw']:>7.2f}{r['norm']:>7.2f}{r['norm_local']:>7.2f}"
+              f"  {'REGRESSION?' if r['flag'] else ''}")
+    if not result["flagged"]:
+        print("no entry exceeds its noise floor after drift-local "
+              "canary normalization")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -515,10 +515,24 @@ def audit() -> tuple[dict[str, dict], dict]:
 
 
 def _bench_costs() -> dict[str, float]:
-    """Per-query medians from the newest BENCH_r*.json (the driver stores
-    the emitted JSON line in a possibly-truncated `tail` field, so parse
-    name/number pairs by regex).  Used only to order tiers cheap-first —
-    missing entries sort last within their tier."""
+    """Per-query medians for cheap-first tier ordering — missing entries
+    sort last within their tier.
+
+    Preferred source: BENCH_FULL_LATEST.json (complete medians map,
+    written by every bench run since r8 — the recorder's BENCH_r*.json
+    keeps only the last 2000 stdout chars and lost the alphabetically-
+    first ~40 medians every round r2–r7).  Fallback: regex name/number
+    pairs out of the newest recorder tail, stopping at the
+    `entry_started_s` key if present so start OFFSETS cannot overwrite
+    medians of the same name."""
+    full_path = os.path.join(REPO, "BENCH_FULL_LATEST.json")
+    try:
+        with open(full_path) as f:
+            queries = json.load(f).get("queries", {})
+        if queries:
+            return {n: float(v) for n, v in queries.items()}
+    except (json.JSONDecodeError, OSError, TypeError, ValueError):
+        pass
     paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
     if not paths:
         return {}
@@ -527,6 +541,7 @@ def _bench_costs() -> dict[str, float]:
             tail = json.load(f).get("tail", "")
     except (json.JSONDecodeError, OSError):
         return {}
+    tail = tail.split('"entry_started_s"')[0]
     return {m.group(1): float(m.group(2)) for m in
             re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)}
 
