@@ -82,6 +82,29 @@ def test_scrapes_truncated_recorder_tail_r7_shape():
     assert side["sf"] == 0.1
 
 
+def test_nonstationary_side_without_offsets_flags_on_raw(tmp_path):
+    # the r7 driver regime: 14x in-run drift, no entry offsets — the
+    # run-level canary median represents no entry's actual conditions,
+    # so normalization must fall back to raw ratios with a warning
+    old = {"queries": {"q_big": 10.0, "q_steady": 10.0},
+           "canary_s": 9.65, "canary_first_s": 1.27,
+           "canary_last_s": 18.03, "sf": 0.1}
+    new = _artifact({"q_big": 20.0, "q_steady": 10.5},
+                    {"q_big": 0.0, "q_steady": 50.0}, 1.0, 1.0, 100.0)
+    p_old, p_new = tmp_path / "o.json", tmp_path / "n.json"
+    p_old.write_text(json.dumps(old))
+    p_new.write_text(json.dumps(new))
+    result = bc.compare(bc.load(str(p_old)), bc.load(str(p_new)))
+    assert result["normalization"] == "raw_fallback"
+    assert result["warnings"] and "nonstationary" in result["warnings"][0]
+    rows = {r["entry"]: r for r in result["rows"]}
+    # raw 2.0 exceeds the >1s floor (1.25) -> flagged on RAW, even
+    # though run-level normalization would have excused it (norm 0.34)
+    assert rows["q_big"]["flag"]
+    assert not rows["q_steady"]["flag"]
+    assert result["median_raw_ratio"] is not None
+
+
 def test_raw_stdout_capture_loads(tmp_path):
     line = json.dumps({"queries": {"q": 1.5}, "canary_s": 2.0, "sf": 0.01})
     p = tmp_path / "stdout.txt"

@@ -118,12 +118,42 @@ def _local_canary(side: dict, offset: float | None) -> float | None:
     return first + (last - first) * frac
 
 
+def _drift(side: dict) -> float | None:
+    first, last = side.get("canary_first"), side.get("canary_last")
+    return round(last / first, 2) if first and last else None
+
+
+def _median_of(xs: list[float]) -> float | None:
+    s = sorted(xs)
+    if not s:
+        return None
+    mid = s[len(s) // 2] if len(s) % 2 else \
+        (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+    return round(mid, 3)
+
+
 def compare(old: dict, new: dict, floor_sub: float = 1.4,
             floor_big: float = 1.25) -> dict:
     common = sorted(set(old["queries"]) & set(new["queries"]))
     canary_ratio = None
     if old.get("canary") and new.get("canary"):
         canary_ratio = new["canary"] / old["canary"]
+    # A side whose canary drifted in-run (the r7 driver degraded 14x)
+    # AND has no per-entry offsets cannot be normalized honestly: its
+    # run-level canary median does not represent the conditions under
+    # which any given entry was measured.  Flag on RAW ratios there —
+    # conservative, and the warning says why.
+    warnings = []
+    fallback = False
+    for label, side in (("old", old), ("new", new)):
+        d = _drift(side)
+        if d and max(d, 1 / d) > 1.5 and not side["started"]:
+            fallback = True
+            warnings.append(
+                f"{label} run is nonstationary (canary first->last "
+                f"{side['canary_first']}s -> {side['canary_last']}s, "
+                f"{d}x) and has no entry offsets; run-level canary "
+                f"normalization is unreliable — flags use RAW ratios")
     rows = []
     for name in common:
         o, n = old["queries"][name], new["queries"][name]
@@ -135,20 +165,21 @@ def compare(old: dict, new: dict, floor_sub: float = 1.4,
         ln_ = _local_canary(new, new["started"].get(name))
         norm_local = raw / (ln_ / lo) if (lo and ln_) else norm
         floor = floor_sub if max(o, n) < 1.0 else floor_big
+        effective = raw if fallback else norm_local
         rows.append({
             "entry": name, "old_s": o, "new_s": n,
             "raw": round(raw, 3), "norm": round(norm, 3),
             "norm_local": round(norm_local, 3),
-            "flag": norm_local > floor,
+            "flag": effective > floor,
         })
-    norms = sorted(r["norm"] for r in rows)
-    mid = (norms[len(norms) // 2] if len(norms) % 2 else
-           (norms[len(norms) // 2 - 1] + norms[len(norms) // 2]) / 2) \
-        if norms else None
     return {
         "common_entries": len(rows),
         "canary_ratio": round(canary_ratio, 3) if canary_ratio else None,
-        "median_norm_ratio": round(mid, 3) if mid is not None else None,
+        "drift_old": _drift(old), "drift_new": _drift(new),
+        "normalization": "raw_fallback" if fallback else "canary",
+        "warnings": warnings,
+        "median_raw_ratio": _median_of([r["raw"] for r in rows]),
+        "median_norm_ratio": _median_of([r["norm"] for r in rows]),
         "flagged": [r for r in rows if r["flag"]],
         "rows": rows,
         "sf_old": old.get("sf"), "sf_new": new.get("sf"),
@@ -173,10 +204,18 @@ def main(argv: list[str]) -> int:
         out["rows"] = sorted(out["rows"], key=lambda r: -r["norm_local"])
         print(json.dumps(out))
         return 0
+    for w in result["warnings"]:
+        print(f"WARNING: {w}")
     print(f"common entries: {result['common_entries']}   "
           f"canary ratio (new/old): {result['canary_ratio']}   "
-          f"median canary-normalized ratio: {result['median_norm_ratio']}")
-    rows = sorted(result["rows"], key=lambda r: -r["norm_local"])
+          f"in-run drift old/new: {result['drift_old']}x/"
+          f"{result['drift_new']}x   "
+          f"median ratio raw: {result['median_raw_ratio']} "
+          f"canary-normalized: {result['median_norm_ratio']}   "
+          f"flags on: {result['normalization']}")
+    sort_key = ("raw" if result["normalization"] == "raw_fallback"
+                else "norm_local")
+    rows = sorted(result["rows"], key=lambda r: -r[sort_key])
     print(f"{'entry':<38}{'old_s':>8}{'new_s':>8}{'raw':>7}"
           f"{'norm':>7}{'local':>7}  flag")
     for r in rows[:top] + [None] + rows[-3:]:
