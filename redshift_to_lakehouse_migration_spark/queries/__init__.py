@@ -94,6 +94,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_stats",
     "token_histogram",
     "knn_bruteforce",
+    "q5_region_supplier_volume",  # r8 session-2 hint-discipline fix
     "knn_ivf",
     "knn_lsh_bucketed",
     "corpus_prep",
@@ -104,7 +105,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "corpus_funnel",
     # -- refresh tier: fresh but least-recently-sampled (34 with newest
-    # row r6, plus stg_customer / dq_accepted_values as cheap r7 fill) --
+    # row r6, plus stg_customer as cheap r7 fill; dq_accepted_values
+    # dropped to make room for the q5 hint-discipline fix above) --
     "stg_customer",
     "sample_stratified",
     "sample_per_stratum",
@@ -140,7 +142,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "binary_metadata",
     "frame_sample_plan",
     "contamination_check",
-    "dq_accepted_values",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]

@@ -61,8 +61,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: per-nation revenue inside one region for one year, with
     the local-supplier constraint (c_nationkey = s_nationkey). Five joins;
-    every dimension side broadcasts, so the fact stream shuffles once —
-    for the final nation aggregate."""
+    the fact stream shuffles once — for the final nation aggregate —
+    while every dimension side broadcasts at the scales where that is
+    SAFE.
+
+    Hint discipline (the r8 sf8.0 probe lesson): ``F.broadcast`` pins
+    only the genuinely-bounded dims — nation⋈region is fixed-cardinality
+    (25×5 rows at every scale factor).  customer and supplier are
+    corpus-PROPORTIONAL, so their joins go through the size-checked
+    `autoBroadcastJoinThreshold` path (64 MB engine default): identical
+    BroadcastHashJoin plans at every bench scale, but a graceful
+    sort-merge degrade once the side outgrows the threshold.  A hint
+    there is not an optimization, it is a deferred crash: hints bypass
+    the size check, and the previously-hinted customer broadcast OOM'd
+    the probe harness at sf8.0 — at 100 TB (15G-row customer) it is
+    unbuildable on any driver."""
     r = load(spark, sf_dir, "region") \
         .filter(F.col("r_name") == "ASIA").select("r_regionkey")
     n = load(spark, sf_dir, "nation") \
@@ -79,8 +92,8 @@ def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("n_regionkey") == F.col("r_regionkey"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s),
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s,
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(asia_nations),

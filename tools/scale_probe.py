@@ -1,9 +1,13 @@
 """Generate SCALING.md: measured wall-time growth of representative
 queries across sf0.001 → 0.01 → 0.1 (driver tables, a 100x span) plus
-generated sf0.5 / 1.0 / 2.0 / 4.0 points (tools/gen_scale_data.py, up to
-40x the driver's largest — a 4000x total span) where fixed per-job
-overhead no longer dominates and THREE successive 2x octaves make any
-superlinear trend visible as a RISING x2 ratio, not a one-point blip.
+generated sf0.5 / 1.0 / 2.0 / 4.0 / 8.0 points (tools/gen_scale_data.py,
+up to 80x the driver's largest — an 8000x total span) where fixed
+per-job overhead no longer dominates and FOUR successive 2x octaves make
+any superlinear trend visible as a RISING x2 ratio, not a one-point
+blip.  The two by-construction-quadratic-work ANN probes skip the sf8.0
+cell (their sf8 wall is dominated by 4x the sf4 probe-corpus products —
+knn_bruteforce alone would cost ~20 min/run for a trend sf0.5→4.0
+already characterizes); every linear-work probe runs the full span.
 
 The judge-facing question is "does this survive a scale-up"; this probe
 measures it directly at the scales available. Interpretation guide is in
@@ -29,6 +33,12 @@ SF5_DIR = "/root/repo/testdata_sf0.5"
 SF10_DIR = "/root/repo/testdata_sf1.0"
 SF20_DIR = "/root/repo/testdata_sf2.0"
 SF40_DIR = "/root/repo/testdata_sf4.0"
+SF80_DIR = "/root/repo/testdata_sf8.0"
+
+# Probes whose WORK is quadratic in data size by construction (probe/
+# centroid sets are corpus-proportional slices): their x2 WORK ratio
+# is 4, everything else's is 2.  They also skip the sf8.0 cell.
+QUADRATIC_WORK = {"knn_bruteforce", "knn_ivf"}
 
 # one representative per operator family (scan-agg, star join, window,
 # set-op, dedup×3, ANN×2, text, sampling, packing, funnel composition)
@@ -42,6 +52,13 @@ PROBES = (
 
 
 def main() -> None:
+    # The probe session IS all 32 executors' working memory in local
+    # mode, plus every live broadcast; at sf8.0 the threshold-sized
+    # customer broadcast build needs more headroom than the 8g default
+    # (measured: the first sf8 probe run died at exactly that build).
+    # Env still wins for explicit overrides.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     from redshift_to_lakehouse_migration_spark.queries import QUERIES
     from redshift_to_lakehouse_migration_spark.session import get_spark
 
@@ -67,7 +84,9 @@ def main() -> None:
         gen(2.0, SF20_DIR)
     if not complete(SF40_DIR, 4.0):
         gen(4.0, SF40_DIR)
-    sfs = (*SFS, SF5_DIR, SF10_DIR, SF20_DIR, SF40_DIR)
+    if not complete(SF80_DIR, 8.0):
+        gen(8.0, SF80_DIR)
+    sfs = (*SFS, SF5_DIR, SF10_DIR, SF20_DIR, SF40_DIR, SF80_DIR)
 
     spark = get_spark("scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -89,27 +108,36 @@ def main() -> None:
     for name in PROBES:
         times = []
         for sf in sfs:
+            print(f"PROBE {name} @ {os.path.basename(sf.rstrip('/'))}",
+                  file=sys.stderr, flush=True)
+            if sf == SF80_DIR and name in QUADRATIC_WORK:
+                # quadratic-work-by-construction ANN probes: the sf8.0
+                # cell costs ~20 min/run (4x the sf4 probe-corpus
+                # products) for a trend the sf0.5→4.0 octaves already
+                # characterize — skipped, rendered as "—"
+                times.append(float("nan"))
+                continue
             QUERIES[name](spark, sf).write.format("noop") \
                 .mode("overwrite").save()  # warm
             times.append(timed_run(name, sf))
         results[name] = times
 
     lines = [
-        "# SCALING — measured wall time across a 4000x data span",
+        "# SCALING — measured wall time across an 8000x data span",
         "",
         "Auto-generated by `tools/scale_probe.py` (local[32], noop sink,",
         "warm JVM, second run of each query timed). sf0.001-0.1 are the",
-        "driver tables; sf0.5/1.0/2.0/4.0 are generated by",
+        "driver tables; sf0.5/1.0/2.0/4.0/8.0 are generated by",
         "`tools/gen_scale_data.py` (schema- and distribution-matched,",
-        "5x-40x the driver's largest — 24M lineitem / 4M events /",
-        "200k docs at sf4.0). At the small sizes fixed per-job overhead",
+        "5x-80x the driver's largest — 48M lineitem / 8M events /",
+        "400k docs at sf8.0). At the small sizes fixed per-job overhead",
         "dominates, so healthy plans grow far SLOWER than data: the",
         "`x10 ratio` column (sf0.01 → sf0.1, 10x rows) should sit well",
         "below 10, the `x5` column (sf0.1 → sf0.5, 5x rows) well",
-        "below 5, and the three `x2` octaves (x2a sf0.5→1.0, x2b",
-        "sf1.0→2.0, x2c sf2.0→4.0) — the spans where fixed overhead",
-        "matters least — at or below ~2 and NOT rising octave-over-",
-        "octave;",
+        "below 5, and the four `x2` octaves (x2a sf0.5→1.0, x2b",
+        "sf1.0→2.0, x2c sf2.0→4.0, x2d sf4.0→8.0) — the spans where",
+        "fixed overhead matters least — at or below ~2 and NOT rising",
+        "octave-over-octave;",
         "a value far above the WORK ratio flags a superlinear plan (the",
         "closing line reports which, computed from the measured ratios).",
         "Caveat for the ANN family: their probe/centroid sets",
@@ -117,39 +145,46 @@ def main() -> None:
         "quadratically with data by construction (2x data = 4x",
         "probe-corpus products) — knn_bruteforce is the deliberate exact",
         "baseline; a wall ratio near the DATA ratio there means the plan",
-        "scales sublinearly in its work.",
+        "scales sublinearly in its work.  The two quadratic-work probes",
+        "skip the sf8.0 cell (\"—\"): that cell is ~20 min/run of",
+        "by-construction probe-corpus products, and sf0.5→4.0 already",
+        "pins their trend.",
         "",
         "| query | sf0.001 | sf0.01 | sf0.1 | sf0.5 | sf1.0 | sf2.0 "
-        "| sf4.0 | x10 | x5 | x2a | x2b | x2c |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| sf4.0 | sf8.0 | x10 | x5 | x2a | x2b | x2c | x2d |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    # Probes whose WORK is quadratic in data size by construction (probe/
-    # centroid sets are corpus-proportional slices): their x2 WORK ratio
-    # is 4, everything else's is 2.
-    QUADRATIC_WORK = {"knn_bruteforce", "knn_ivf"}
 
     # Endpoint directories for each x2 octave, used by flag confirmation.
     OCTAVES = {"x2a": (SF5_DIR, SF10_DIR), "x2b": (SF10_DIR, SF20_DIR),
-               "x2c": (SF20_DIR, SF40_DIR)}
+               "x2c": (SF20_DIR, SF40_DIR), "x2d": (SF40_DIR, SF80_DIR)}
+
+    def fmt(x: float, suffix: str = "") -> str:
+        if x != x:  # NaN: the deliberately-skipped sf8.0 ANN cells
+            return "—"
+        return f"{x:.1f}{suffix}" if suffix else f"{x:.2f}"
 
     worst10 = worst5 = worst2 = 0.0
     candidates: list[tuple[str, str, float, float]] = []
-    for name, (a, b, c, d, e, f2, g) in results.items():
+    for name, (a, b, c, d, e, f2, g, h) in results.items():
         r10 = c / b if b > 0 else float("nan")
         r5 = d / c if c > 0 else float("nan")
         r2a = e / d if d > 0 else float("nan")
         r2b = f2 / e if e > 0 else float("nan")
         r2c = g / f2 if f2 > 0 else float("nan")
+        r2d = h / g if g > 0 else float("nan")
         worst10, worst5 = max(worst10, r10), max(worst5, r5)
-        worst2 = max(worst2, r2a, r2b, r2c)
+        worst2 = max(worst2, *(r for r in (r2a, r2b, r2c, r2d)
+                               if r == r))
         work2 = 4.0 if name in QUADRATIC_WORK else 2.0
-        for label, r in (("x2a", r2a), ("x2b", r2b), ("x2c", r2c)):
-            if r > work2:
+        for label, r in (("x2a", r2a), ("x2b", r2b), ("x2c", r2c),
+                         ("x2d", r2d)):
+            if r == r and r > work2:
                 candidates.append((name, label, r, work2))
         lines.append(f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {d:.2f} "
-                     f"| {e:.2f} | {f2:.2f} | {g:.2f} | {r10:.1f}x "
-                     f"| {r5:.1f}x | {r2a:.1f}x | {r2b:.1f}x "
-                     f"| {r2c:.1f}x |")
+                     f"| {e:.2f} | {f2:.2f} | {g:.2f} | {fmt(h)} "
+                     f"| {r10:.1f}x | {r5:.1f}x | {r2a:.1f}x "
+                     f"| {r2b:.1f}x | {r2c:.1f}x | {fmt(r2d, 'x')} |")
 
     # Single-run points blip: the r7 artifact flagged q5 x2c at 5.0x from
     # one cold-cache sf4 run that a 3-rep re-measure showed as FASTER than
@@ -183,7 +218,7 @@ def main() -> None:
                if not flagged else "; ".join(flagged))
     lines += ["", f"Worst 10x-data growth observed: {worst10:.1f}x; "
                   f"worst 5x-data growth: {worst5:.1f}x; "
-                  f"worst 2x-data growth (any of the three octaves): "
+                  f"worst 2x-data growth (any of the four octaves): "
                   f"{worst2:.1f}x.",
               "",
               f"Probes whose x2 growth exceeds their x2 WORK ratio after "
