@@ -7,9 +7,15 @@ Parity (SURVEY §2.12): `gold/dim_policy.py:15-95` + `dim_policy.sql:13-53`,
 
 Where the reference's two implementations disagree we follow the PySpark twin
 (SURVEY §7.3 risk 2): `concat_ws` NULL-skipping full names, `F.least` capping.
-All dims take ``as_of`` instead of current_date() (risk 3). Dimension joins
-broadcast; fact_claims partitions its output by state
-(`gold/fact_claims.py:99-104`).
+All dims take ``as_of`` instead of current_date() (risk 3). Join strategy
+is left to the size-checked ``autoBroadcastJoinThreshold`` path: policies,
+properties, and premium_summary are corpus-proportional, so hinting them
+would pin a broadcast that OOMs at 100 TB (the r8 sf8.0 q5 lesson,
+CHANGES_r8 §9d) — the engine picks the same BroadcastHashJoin at bench
+scales and degrades gracefully to sort-merge beyond the threshold.
+fact_claims partitions its output by state (`gold/fact_claims.py:99-104`)
+and documents bucketing (``maintenance.write_bucketed``) as the declared
+100-TB shuffle-free join path.
 """
 
 from __future__ import annotations
@@ -70,8 +76,14 @@ def build_premium_summary(premiums: DataFrame) -> DataFrame:
 def build_dim_policy(policies: DataFrame, premium_summary: DataFrame,
                      as_of: str) -> DataFrame:
     """`gold/dim_policy.py:38-95` / `dim_policy.sql:13-53`: left join the
-    summary (broadcast — dimension-sized), COALESCE defaults, status-category
-    CASE, tenure datediff, md5 surrogate key, SCD2 columns."""
+    premium summary, COALESCE defaults, status-category CASE, tenure
+    datediff, md5 surrogate key, SCD2 columns.
+
+    Hint discipline: premium_summary is policy-proportional (one row per
+    paying policy), so it carries NO ``F.broadcast`` hint — the
+    size-checked threshold path picks the same BroadcastHashJoin at
+    bench scales and degrades to sort-merge at 100 TB instead of
+    OOMing a pinned broadcast (CHANGES_r8 §9d)."""
     status_cat = (
         F.when(F.col("status") == "ACTIVE", "IN_FORCE")
          .when(F.col("status").isin("CANCELLED", "EXPIRED"), "TERMINATED")
@@ -79,7 +91,7 @@ def build_dim_policy(policies: DataFrame, premium_summary: DataFrame,
          .otherwise("OTHER")
     )
     dim = (
-        policies.join(F.broadcast(premium_summary), "policy_id", "left")
+        policies.join(premium_summary, "policy_id", "left")
         .select(
             surrogate_key("policy_id", "updated_at").alias("policy_sk"),
             "policy_id", "policyholder_name", "email", "property_id",
@@ -177,7 +189,11 @@ def build_fact_claims(claims: DataFrame, policies: DataFrame,
                       properties: DataFrame) -> DataFrame:
     """`gold/fact_claims.py:18-79`: inner join policies (enrichment J1) +
     left join properties (J2), LEAST cap, null-guarded ratio, day intervals,
-    boolean flags. Policy/property sides broadcast (dimension-sized)."""
+    boolean flags. Policy/property sides are corpus-proportional: no
+    broadcast hints (threshold path; CHANGES_r8 §9d). At 100 TB the
+    declared shuffle-free path is bucketed silver tables — see
+    ``maintenance.write_bucketed`` and tests/test_medallion.py's
+    bucketed-join plan assert."""
     p = policies.select("policy_id", "property_id", "coverage_type_code",
                         "annual_premium", "deductible", "coverage_limit",
                         "agent_id")
@@ -192,8 +208,8 @@ def build_fact_claims(claims: DataFrame, policies: DataFrame,
     premium_guard = F.when(F.col("annual_premium") == 0, None) \
                      .otherwise(F.col("annual_premium"))
     return (
-        claims.join(F.broadcast(p), "policy_id", "inner")
-        .join(F.broadcast(pr), "property_id", "left")
+        claims.join(p, "policy_id", "inner")
+        .join(pr, "property_id", "left")
         .select(
             surrogate_key("claim_id").alias("claim_sk"),
             "claim_id", "policy_id", "property_id",
@@ -229,7 +245,7 @@ def build_fact_premiums(premiums: DataFrame,
                         "channel", "agent_id")
     days_late = F.datediff("payment_date", "due_date")
     return (
-        premiums.join(F.broadcast(p), "policy_id", "left")
+        premiums.join(p, "policy_id", "left")
         .select(
             surrogate_key("premium_id").alias("premium_sk"),
             "premium_id", "policy_id", "property_id",

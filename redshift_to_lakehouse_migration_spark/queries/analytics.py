@@ -80,8 +80,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("order_count") >= 3)
     )
     return (
-        rev.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"),
-                 "inner")
+        rev.join(c, F.col("o_custkey") == F.col("c_custkey"), "inner")
         .select(
             F.col("o_custkey").alias("customer_id"),
             F.trim("c_name").alias("customer_name"),
@@ -176,7 +175,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     joined = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -364,7 +363,7 @@ def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     with explicit pivot values (deterministic output schema)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     return (
         j.groupBy(F.col("c_mktsegment").alias("market_segment"))
         .pivot("o_orderstatus", ["O", "F", "P"])
@@ -468,7 +467,7 @@ def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))) \
         .cast("decimal(30,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.count("*").alias("n_lines"),
              F.countDistinct("p_partkey").alias("n_parts"),
@@ -695,7 +694,7 @@ def segment_priority_pivot_dynamic(spark: SparkSession,
     c = load(spark, sf_dir, "customer")
     pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .pivot("o_orderpriority", pris)
         .agg(F.count(F.lit(1)))
@@ -913,7 +912,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     per_nation = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"),

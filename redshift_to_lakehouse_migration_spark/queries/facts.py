@@ -6,10 +6,15 @@ datediff) and `gold/fact_premiums.py:14-52` (left join + manual column pruning
 P3 + conditional measures). Role mapping per FIXTURES.md §6: lineitem≈claims,
 orders≈policies, customer/nation≈properties.
 
-Scale notes: the fact side streams; every dimension side is explicitly
-``F.broadcast`` (customer/nation/region are dimension-sized at any SF — at
-100 TB the facts shuffle zero bytes for these joins). The orders⋈lineitem join
-is a co-partitioned shuffle join on the join key; AQE handles skew.
+Scale notes: the fact side streams; nation/region are fixed-cardinality
+(25/5 rows at any SF) and carry explicit ``F.broadcast`` hints. customer is
+corpus-PROPORTIONAL, so it goes through the size-checked
+``autoBroadcastJoinThreshold`` path instead: the engine picks the identical
+BroadcastHashJoin at bench scales and degrades gracefully to sort-merge once
+customer outgrows the threshold — a hint there would pin a broadcast that
+OOMs at 100 TB (the r8 sf8.0 q5 lesson, CHANGES_r8 §9d). The
+orders⋈lineitem join is a co-partitioned shuffle join on the join key; AQE
+handles skew.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.filter(F.col("l_orderkey").isNotNull() & (F.col("l_quantity") > 0))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left")
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"),
               "left")
     )
@@ -77,7 +82,7 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         o.filter(F.col("o_orderkey").isNotNull())
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left")
         .select(
             F.col("o_orderkey").alias("order_id"),
             F.col("o_custkey").alias("customer_id"),

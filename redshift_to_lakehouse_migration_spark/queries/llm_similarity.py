@@ -86,7 +86,10 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = sim.cosine_topk(e, probes, "vec_id", "embedding", k=5)
     labels = e.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("label").alias("neighbor_label"))
-    return topk.join(F.broadcast(labels), "neighbor_id").select(
+    # topk (|probes|*k rows) is the bounded side of the label re-attach;
+    # labels is corpus-proportional, so hinting IT would pin a broadcast
+    # that OOMs at 100 TB (CHANGES_r8 §9d). Hint the small side instead.
+    return F.broadcast(topk).join(labels, "neighbor_id").select(
         "query_id", "neighbor_id", "sim", "neighbor_label", "rank")
 
 

@@ -36,8 +36,14 @@ def _rev() -> F.Column:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape: unshipped-revenue top-10 for one market segment.
-    customer(BUILDING) broadcast into orders(before pivot) joined to
-    lineitem(shipped after pivot); one aggregate on the order key."""
+    customer(BUILDING) joined into orders(before pivot) joined to
+    lineitem(shipped after pivot); one aggregate on the order key.
+
+    Hint discipline: customer is corpus-proportional, so it carries NO
+    ``F.broadcast`` hint — the size-checked ``autoBroadcastJoinThreshold``
+    path picks the identical BroadcastHashJoin at bench scales and
+    degrades gracefully to sort-merge once the segment slice outgrows
+    the threshold (the r8 sf8.0 q5 lesson, CHANGES_r8 §9d)."""
     pivot = "1998-06-01"
     c = load(spark, sf_dir, "customer") \
         .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -48,8 +54,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.lit(pivot).cast("timestamp")) \
         .select("l_orderkey", "l_extendedprice", "l_discount")
     return (
-        l.join(o.join(F.broadcast(c),
-                      F.col("o_custkey") == F.col("c_custkey")),
+        l.join(o.join(c, F.col("o_custkey") == F.col("c_custkey")),
                F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_rev(), scale=4, precision=30).alias("revenue"))
@@ -107,7 +112,10 @@ def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: top-20 customers by lost revenue from returned items in
     one quarter. lineitem(R) ⋈ orders(quarter) shuffle once for the
-    customer aggregate; customer/nation broadcast onto the result."""
+    customer aggregate; nation (fixed 25 rows) is hint-broadcast onto
+    the result, while customer — corpus-proportional — goes through the
+    size-checked threshold path (same BHJ at bench scales, graceful SMJ
+    degrade at 100 TB; CHANGES_r8 §9d)."""
     c = load(spark, sf_dir, "customer") \
         .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -124,8 +132,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(_rev(), scale=4, precision=30).alias("revenue"))
     )
     return (
-        per_cust.join(F.broadcast(c),
-                      F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(F.col("c_custkey").alias("customer_id"),
                 F.col("c_name").alias("customer_name"),

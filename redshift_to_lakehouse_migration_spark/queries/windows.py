@@ -85,8 +85,9 @@ def order_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile / lag across a joined dimension attribute."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"),
-               "inner")
+    # customer is corpus-proportional: no broadcast hint — the threshold
+    # path picks the same BHJ at bench scales and degrades at 100 TB.
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"), "inner")
     w = W.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -188,7 +189,7 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit on the boundary rows."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    j = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    j = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
          .select("o_orderkey", "c_mktsegment", "o_totalprice"))
     w = (W.partitionBy("c_mktsegment")
          .orderBy(F.col("o_totalprice"), F.col("o_orderkey")))
