@@ -150,3 +150,52 @@ def test_no_cartesian_in_scale_paths(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_undeclared_corpus_broadcast_hints(spark):
+    """Hint-discipline invariant (the r8 sf8.0 OOM class, CHANGES_r8 §9d):
+    an ``F.broadcast`` hint bypasses autoBroadcastJoinThreshold, so a hint
+    whose subtree scans a corpus-proportional table is a deferred OOM at
+    100 TB. Every such hint must be declared in
+    ``tools.plan_audit.DECLARED_BOUNDED_HINTS`` with its pinned count —
+    a new (or gained) one fails here instead of in next round's sf8 probe.
+    Also pins the declarations against rot: a declared query whose
+    corpus-scanning hints vanished must leave the allowlist."""
+    from tools.plan_audit import (DECLARED_BOUNDED_HINTS,
+                                  broadcast_hint_corpus_scans)
+    seen_bounded = set()
+    for name, fn in QUERIES.items():
+        hits = broadcast_hint_corpus_scans(fn(spark, SF))
+        allowed = DECLARED_BOUNDED_HINTS.get(name, (0,))[0]
+        assert len(hits) <= allowed, (
+            f"{name}: {len(hits)} corpus-scanning broadcast hint(s) "
+            f"{hits} vs declared {allowed} — drop the hint (let the "
+            "size-checked threshold path pick the join) or, if the "
+            "subtree is genuinely corpus-independent, declare it")
+        if hits:
+            seen_bounded.add(name)
+    stale = set(DECLARED_BOUNDED_HINTS) - seen_bounded
+    assert not stale, f"stale hint declarations (no hint in plan): {stale}"
+
+
+def test_rehinted_corpus_join_flags(spark):
+    """A deliberately re-hinted corpus-proportional broadcast must flag
+    (the regression the invariant exists to catch), while the same join
+    hinted on a fixed-cardinality dim must not."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_lakehouse_migration_spark.tables import load
+    from tools.plan_audit import broadcast_hint_corpus_scans
+
+    o = load(spark, SF, "orders")
+    c = load(spark, SF, "customer")
+    n = load(spark, SF, "nation")
+    bad = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert broadcast_hint_corpus_scans(bad) == [["customer"]]
+    ok = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert broadcast_hint_corpus_scans(ok) == []
+    # a bounded REDUCTION of a corpus table still reports its scan — it
+    # passes only by declaration, never silently
+    one_row = o.groupBy().agg(F.count("*").alias("n"))
+    assert broadcast_hint_corpus_scans(
+        c.crossJoin(F.broadcast(one_row))) == [["orders"]]

@@ -3,20 +3,123 @@
 For every `queries()` entry, build the DataFrame at the given sf_dir and
 summarize its executed plan: hash-shuffle count, broadcast count,
 sort-merge joins, whether any Cartesian/nested-loop join appears, whether
-the scan carries pushed filters, and whether any Python eval operator is
-present. This materializes the ".explain and iterate" discipline as an
-inspectable artifact.
+the scan carries pushed filters, whether any Python eval operator is
+present, and whether any broadcast HINT covers a corpus-proportional
+subtree (the r8 sf8.0 OOM class — undeclared sites flag YES and fail
+tests/test_plans.py). This materializes the ".explain and iterate"
+discipline as an inspectable artifact.
 
 Usage: python tools/plan_audit.py [sf_dir] > PLANS.md  (or default write)
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint discipline (the r8 sf8.0 lesson, CHANGES_r8 §9d): an
+# ``F.broadcast`` hint BYPASSES autoBroadcastJoinThreshold, so a hint whose
+# subtree scans a corpus-PROPORTIONAL table is a deferred OOM — identical
+# plan at bench scales, a crash once the side outgrows the heap (measured:
+# q5's hinted customer broadcast killed the sf8.0 probe).  Hints are free
+# only on sides whose cardinality is bounded INDEPENDENT of corpus scale.
+#
+# Two bounded classes:
+#   1. fixed-cardinality base tables (nation=25, region=5 at any SF) —
+#      always fine, never flagged;
+#   2. subtrees that SCAN a corpus table but REDUCE it to a bounded frame
+#      before the hint (a one-row global aggregate, the per-type moment
+#      table, the k trained centroids / PQ codebooks, the declared probe
+#      top-k, the external-benchmark gram set).  These must be DECLARED
+#      below with their expected hint count and a re-verifiable reason;
+#      an undeclared corpus-scanning hint — or a declared query GAINING
+#      one — flags YES and fails tests/test_plans.py.
+BOUNDED_TABLES = {"nation", "region"}
+
+# Expected corpus-scanning broadcast-hint count per query, measured at
+# sf0.001 (hint COUNT is sf-independent: it is a property of the logical
+# plan, not of sizes). The trained-centroid / PQ-codebook frames do NOT
+# appear here although they derive from the corpus: kmeans_fit
+# localCheckpoints them, so their analyzed plans are materialized
+# LogicalRDDs of k rows — bounded by construction, no scan to flag.
+DECLARED_BOUNDED_HINTS: dict[str, tuple[int, str]] = {
+    "audit_anomalous_access": (
+        3, "one-row high-water-mark / per-principal total aggregates"),
+    "audit_principal_last7d": (1, "one-row high-water-mark aggregate"),
+    "contamination_check": (
+        1, "benchmark gram set — external-benchmark-sized; the doc_id%MOD "
+           "slice is the harness stand-in, deployment side is a fixed "
+           "eval-suite artifact"),
+    "corpus_funnel": (1, "same benchmark gram set as contamination_check"),
+    "events_conversion_funnel": (3, "one-row stage-count aggregates"),
+    "events_daily_anomalies": (
+        1, "per-event-type moment table — bounded by the event-type "
+           "domain, not corpus rows"),
+    "knn_bruteforce": (
+        2, "probe set + probe top-k label re-attach (fixed-size query "
+           "batch in deployment; corpus-proportional only in the harness "
+           "slice)"),
+    "knn_ivf": (2, "probe set (assign + bucket-probe)"),
+    "knn_ivfpq": (3, "probe set + per-query ADC distance table"),
+    "knn_ivfpq_refined": (
+        4, "probe set + ADC distance table + refine-stage probe vectors"),
+    "knn_pq_adc": (1, "per-query ADC distance table (|queries| x m x k)"),
+    "mix_datasets": (1, "one-row grand-total aggregate"),
+}
+
+
+def _tables_under(node, acc: set) -> None:
+    """Collect base-table names scanned anywhere under ``node`` (analyzed
+    logical plan). Parquet relations map to their file stem; any leaf
+    relation whose table cannot be identified is recorded as
+    ``<unknown>`` so it flags conservatively rather than passing silently.
+    LocalRelation / OneRowRelation / Range leaves are literal-bounded."""
+    cls = node.getClass().getSimpleName()
+    if cls == "LogicalRelation":
+        name = None
+        try:
+            paths = node.relation().location().rootPaths()
+            for i in range(paths.size()):
+                m = re.search(r"/([A-Za-z0-9_.]+?)(?:\.parquet)?/?$",
+                              str(paths.apply(i)))
+                if m:
+                    name = m.group(1)
+                    acc.add(name)
+        except Exception:
+            pass
+        if name is None:
+            acc.add("<unknown>")
+    elif cls in ("HiveTableRelation", "UnresolvedCatalogRelation"):
+        acc.add("<managed:" + node.toString().splitlines()[0][:60] + ">")
+    for i in range(node.children().size()):
+        _tables_under(node.children().apply(i), acc)
+
+
+def broadcast_hint_corpus_scans(df) -> list:
+    """One entry per broadcast ``ResolvedHint`` in the analyzed plan whose
+    subtree scans at least one non-BOUNDED_TABLES base table; each entry is
+    the sorted list of those tables. Empty list == hint-disciplined."""
+    out = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "ResolvedHint" and \
+                "broadcast" in node.hints().toString().lower():
+            scanned: set = set()
+            _tables_under(node.child(), scanned)
+            corpus = sorted(scanned - BOUNDED_TABLES)
+            if corpus:
+                out.append(corpus)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
 
 # Deliberate BroadcastNestedLoopJoin sites — each broadcasts a side whose
 # size is BOUNDED INDEPENDENT of corpus scale (a one-row aggregate, the k
@@ -53,6 +156,13 @@ def main() -> None:
         plan = df._jdf.queryExecution().executedPlan().toString()
         fmt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
+        corpus_hints = broadcast_hint_corpus_scans(df)
+        n_hints = len(corpus_hints)
+        hint_flag = (
+            "no" if n_hints == 0
+            else ("bounded"
+                  if n_hints <= DECLARED_BOUNDED_HINTS.get(name, (0,))[0]
+                  else "YES"))
         rows.append({
             "name": name,
             "oracle": "full" if name in ORACLES else "rows-only",
@@ -76,6 +186,12 @@ def main() -> None:
                        else "-"),
             "python": ("mapInPandas" if "MapInPandas" in plan
                        else ("YES" if "BatchEvalPython" in plan else "no")),
+            # corpus-scanning broadcast hints (the r8 sf8.0 OOM class):
+            # "no" = hint-disciplined, "bounded" = declared sites at or
+            # under their pinned count, "YES" = an undeclared (or gained)
+            # hinted broadcast over a corpus-proportional subtree.
+            "hints": hint_flag,
+            "hint_tables": corpus_hints,
         })
 
     lines = [
@@ -88,20 +204,26 @@ def main() -> None:
         "except the declared `bounded` sites below — each broadcasts a",
         "side whose size is independent of corpus scale), non-empty",
         "parquet PushedFilters, Python eval operators (only the multimodal",
-        "decode stub may say `mapInPandas`).",
+        "decode stub may say `mapInPandas`), and corpus-scanning broadcast",
+        "HINTS (`no` everywhere except the declared `bounded` sites — an",
+        "undeclared hint over a corpus-proportional subtree bypasses the",
+        "size check and is a deferred OOM at 100 TB; CHANGES_r8 §9d).",
         "",
         "| query | oracle | shuffles | broadcasts | SMJ | cartesian | "
-        "pushed filters | python |",
-        "|---|---|---|---|---|---|---|---|",
+        "pushed filters | python | corpus hints |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['name']} | {r['oracle']} | {r['shuffles']} | "
             f"{r['broadcasts']} | {r['smj']} | {r['cartesian']} | "
-            f"{r['pushed']} | {r['python']} |")
+            f"{r['pushed']} | {r['python']} | {r['hints']} |")
     bad = [r["name"] for r in rows if r["cartesian"] == "YES"]
     bounded = [r["name"] for r in rows if r["cartesian"] == "bounded"]
     stale = sorted(set(DECLARED_BNLJ) - set(bounded))
+    bad_hints = [r["name"] for r in rows if r["hints"] == "YES"]
+    bounded_hints = [r["name"] for r in rows if r["hints"] == "bounded"]
+    stale_hints = sorted(set(DECLARED_BOUNDED_HINTS) - set(bounded_hints))
     lines += ["", f"Undeclared Cartesian/nested-loop joins found: "
                   f"{bad if bad else 'none'}."]
     if bounded:
@@ -113,10 +235,24 @@ def main() -> None:
         # a declaration whose BNLJ vanished is a stale allowlist entry —
         # surface it so the list can't silently rot into a blanket waiver
         lines += ["", f"STALE declarations (no BNLJ in plan): {stale}."]
+    lines += ["", f"Undeclared corpus-scanning broadcast hints: "
+                  f"{bad_hints if bad_hints else 'none'}."]
+    if bounded_hints:
+        lines += ["", "Declared bounded corpus-scanning hint sites (the "
+                      "subtree scans a corpus table but reduces it to a "
+                      "corpus-independent cardinality before the hint):"]
+        lines += [f"- `{n}` — expected hint count "
+                  f"{DECLARED_BOUNDED_HINTS[n][0]}: "
+                  f"{DECLARED_BOUNDED_HINTS[n][1]}" for n in bounded_hints]
+    if stale_hints:
+        lines += ["", "STALE hint declarations (no corpus-scanning hint "
+                      f"in plan): {stale_hints}."]
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote PLANS.md ({len(rows)} queries); undeclared: {bad}; "
-          f"bounded: {len(bounded)}; stale declarations: {stale}")
+          f"bounded: {len(bounded)}; stale declarations: {stale}; "
+          f"undeclared hints: {bad_hints}; bounded hints: "
+          f"{len(bounded_hints)}; stale hint declarations: {stale_hints}")
     spark.stop()
 
 
