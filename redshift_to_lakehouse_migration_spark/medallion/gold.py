@@ -237,6 +237,33 @@ def build_fact_claims(claims: DataFrame, policies: DataFrame,
     )
 
 
+def build_fact_claims_bucketed(spark: SparkSession, claims: DataFrame,
+                               policies: DataFrame, properties: DataFrame,
+                               n_buckets: int = 16,
+                               table_prefix: str = "silver_bucketed_",
+                               ) -> DataFrame:
+    """The declared 100-TB path for fact_claims (SCALE.md trade-off #3):
+    once policies outgrows the broadcast threshold, the plain build pays a
+    full shuffle of BOTH sides of claims⋈policies on every gold rebuild.
+    This variant persists the two join inputs bucketed (and bucket-sorted)
+    by ``policy_id`` via :func:`..maintenance.write_bucketed` — the
+    Redshift DISTKEY analog (`MIGRATION_PLAYBOOK.md:37`) — so the join
+    runs exchange-free on co-located buckets: each rebuild reads the
+    bucketed layout instead of re-shuffling the corpus. The properties
+    join keys on ``property_id`` and stays on the size-checked threshold
+    path. Plan-asserted by tests/test_medallion.py (zero
+    ``Exchange hashpartitioning`` with broadcasts disabled)."""
+    from ..maintenance import write_bucketed
+
+    write_bucketed(claims, f"{table_prefix}claims", "policy_id",
+                   n_buckets, sort_col="policy_id")
+    write_bucketed(policies, f"{table_prefix}policies", "policy_id",
+                   n_buckets, sort_col="policy_id")
+    return build_fact_claims(spark.table(f"{table_prefix}claims"),
+                             spark.table(f"{table_prefix}policies"),
+                             properties)
+
+
 def build_fact_premiums(premiums: DataFrame,
                         policies: DataFrame) -> DataFrame:
     """`gold/fact_premiums.py:14-52`: left join pruned policy columns (P3),

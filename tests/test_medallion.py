@@ -326,3 +326,48 @@ def test_silver_casts_evaluate_once_in_plan(spark):
         for col in probes:
             n = len(re.findall(rf"try_cast\({col}#\d+ as", plan))
             assert n == 1, (fn.__name__, col, n)
+
+
+def test_fact_claims_bucketed_join_no_exchange(pipeline_outputs, spark):
+    """The declared 100-TB path (SCALE.md trade-off #3): fact_claims over
+    policy_id-bucketed silver tables must join claims⋈policies with ZERO
+    hash exchange — the bucketed layout IS the shuffle, paid once at
+    silver write time instead of on every gold rebuild. Broadcasts are
+    disabled to simulate the scale where neither side fits the threshold;
+    the result must equal the plain build exactly."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_lakehouse_migration_spark.medallion.gold import (
+        build_fact_claims, build_fact_claims_bucketed)
+
+    outputs, _, _ = pipeline_outputs
+    claims = outputs["silver_claims"]
+    policies = outputs["silver_policies"]
+    properties = outputs["silver_properties"]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fc = build_fact_claims_bucketed(
+            spark, claims, policies, properties, n_buckets=4,
+            table_prefix="test_fcb_")
+        plan = fc._jdf.queryExecution().executedPlan().toString()
+        # claims⋈policies co-located on the bucketed layout: zero hash
+        # exchange on the policy_id join key. The later properties join
+        # keys on property_id (bucket-incompatible) and is ALLOWED its
+        # exchange — that is the one shuffle a 100-TB rebuild still pays.
+        assert "Exchange hashpartitioning(policy_id" not in plan
+        assert "SortMergeJoin [policy_id" in plan
+        # and the bucketing strictly reduces total exchanges vs plain
+        plain = build_fact_claims(claims, policies, properties)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") < \
+            plain_plan.count("Exchange hashpartitioning")
+        # identical results to the plain (shuffling) build
+        assert fc.count() == plain.count()
+        assert fc.exceptAll(plain).count() == 0
+        assert plain.exceptAll(fc).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS test_fcb_claims")
+        spark.sql("DROP TABLE IF EXISTS test_fcb_policies")
