@@ -4,10 +4,11 @@ generated sf0.5 / 1.0 / 2.0 / 4.0 / 8.0 points (tools/gen_scale_data.py,
 up to 80x the driver's largest — an 8000x total span) where fixed
 per-job overhead no longer dominates and FOUR successive 2x octaves make
 any superlinear trend visible as a RISING x2 ratio, not a one-point
-blip.  The two by-construction-quadratic-work ANN probes skip the sf8.0
-cell (their sf8 wall is dominated by 4x the sf4 probe-corpus products —
-knn_bruteforce alone would cost ~20 min/run for a trend sf0.5→4.0
-already characterizes); every linear-work probe runs the full span.
+blip.  Every probe is linear-work and runs the full span: the ANN pair
+is probed in DEPLOYMENT shape (fixed 64-query batch, fixed 256-centroid
+quantizer — VERDICT r8 #4) rather than via the registered entries'
+corpus-proportional harness slices, whose by-construction-quadratic work
+generated flags that needed manual dismissal every round.
 
 The judge-facing question is "does this survive a scale-up"; this probe
 measures it directly at the scales available. Interpretation guide is in
@@ -35,10 +36,18 @@ SF20_DIR = "/root/repo/testdata_sf2.0"
 SF40_DIR = "/root/repo/testdata_sf4.0"
 SF80_DIR = "/root/repo/testdata_sf8.0"
 
-# Probes whose WORK is quadratic in data size by construction (probe/
-# centroid sets are corpus-proportional slices): their x2 WORK ratio
-# is 4, everything else's is 2.  They also skip the sf8.0 cell.
-QUADRATIC_WORK = {"knn_bruteforce", "knn_ivf"}
+# No quadratic-work probes remain: r8 ran the REGISTERED knn_bruteforce/
+# knn_ivf, whose probe/centroid sets are corpus-proportional slices
+# (vec_id % k) pinned that way for oracle checkability — quadratic WORK
+# by construction, which generated x2c flags (4.8x/5.0x vs 4x work,
+# byte-identical plans, spill constants) that each needed manual
+# dismissal.  The scale probe now measures the DEPLOYMENT shape instead
+# (VERDICT r8 #4): a FIXED 64-query probe batch and a FIXED 256-centroid
+# coarse quantizer over the growing corpus, so ANN work is linear in
+# corpus rows and the generic 2x-per-octave rule applies with no special
+# cases.  The registered (quadratic-harness) entries stay oracle-gated at
+# driver scales; recall/latency knobs are characterized in SCALE.md.
+QUADRATIC_WORK: set = set()
 
 # one representative per operator family (scan-agg, star join, window,
 # set-op, dedup×3, ANN×2, text, sampling, packing, funnel composition)
@@ -46,9 +55,50 @@ PROBES = (
     "agg_pricing_summary", "q5_region_supplier_volume",
     "customer_running_revenue", "returned_or_open_orders",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "knn_bruteforce", "knn_ivf", "corpus_prep", "sample_stratified",
+    "knn_bruteforce_fix64", "knn_ivf_fix64", "corpus_prep",
+    "sample_stratified",
     "pack_sequences", "contamination_check", "events_sessionized",
 )
+
+
+def _fixed_probe_queries() -> dict:
+    """Deployment-shape ANN probes (not registered queries: the registry
+    is frozen and its ANN entries keep corpus-proportional slices for
+    oracle checkability). Both are linear-work in corpus rows:
+
+    - ``knn_bruteforce_fix64``: exact cosine top-5 for a FIXED 64-vector
+      query batch against the streaming corpus — work = 64 x N.
+    - ``knn_ivf_fix64``: IVF with a FIXED 256-centroid coarse quantizer
+      (a trained quantizer is a model artifact whose size does not grow
+      with the corpus) and the same fixed 64-query batch — assign work
+      = 256 x N, probe work = 64 x nprobe x (N/256).
+    """
+    from pyspark.sql import functions as F
+
+    from redshift_to_lakehouse_migration_spark.llm import similarity as sim
+    from redshift_to_lakehouse_migration_spark.tables import load, spread
+
+    def knn_bruteforce_fix64(spark, sf_dir):
+        e = spread(load(spark, sf_dir, "embeddings"), spark)
+        probes = e.filter(F.col("vec_id") < 64)
+        return sim.cosine_topk(e, probes, "vec_id", "embedding", k=5)
+
+    def knn_ivf_fix64(spark, sf_dir):
+        e = spread(load(spark, sf_dir, "embeddings"), spark)
+        centroids = e.filter(F.col("vec_id") < 256)
+        lists = sim.ivf_assign(e, centroids, "vec_id", "embedding",
+                               "vec_id", "embedding", nprobe=1)
+        probes = (
+            sim.ivf_assign(e.filter(F.col("vec_id") < 64), centroids,
+                           "vec_id", "embedding", "vec_id", "embedding",
+                           nprobe=2)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_embedding"), "centroid_id")
+        )
+        return sim.ivf_topk(lists, probes, k=5)
+
+    return {"knn_bruteforce_fix64": knn_bruteforce_fix64,
+            "knn_ivf_fix64": knn_ivf_fix64}
 
 
 def main() -> None:
@@ -63,6 +113,8 @@ def main() -> None:
     from redshift_to_lakehouse_migration_spark.session import get_spark
 
     from tools.gen_scale_data import main as gen
+
+    probe_fns = {**QUERIES, **_fixed_probe_queries()}
 
     # Regenerate unless the dataset finished generating (marker is written
     # LAST by gen): a bare isdir() check would silently consume a
@@ -93,12 +145,12 @@ def main() -> None:
 
     def timed_run(name: str, sf: str) -> float:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf).write.format("noop") \
+        probe_fns[name](spark, sf).write.format("noop") \
             .mode("overwrite").save()
         return time.perf_counter() - t0
 
     def join_counts(name: str, sf: str) -> str:
-        plan = QUERIES[name](spark, sf)._jdf.queryExecution() \
+        plan = probe_fns[name](spark, sf)._jdf.queryExecution() \
             .executedPlan().toString()
         return (f"BHJ={plan.count('BroadcastHashJoin')} "
                 f"SMJ={plan.count('SortMergeJoin')} "
@@ -110,14 +162,7 @@ def main() -> None:
         for sf in sfs:
             print(f"PROBE {name} @ {os.path.basename(sf.rstrip('/'))}",
                   file=sys.stderr, flush=True)
-            if sf == SF80_DIR and name in QUADRATIC_WORK:
-                # quadratic-work-by-construction ANN probes: the sf8.0
-                # cell costs ~20 min/run (4x the sf4 probe-corpus
-                # products) for a trend the sf0.5→4.0 octaves already
-                # characterize — skipped, rendered as "—"
-                times.append(float("nan"))
-                continue
-            QUERIES[name](spark, sf).write.format("noop") \
+            probe_fns[name](spark, sf).write.format("noop") \
                 .mode("overwrite").save()  # warm
             times.append(timed_run(name, sf))
         results[name] = times
@@ -140,15 +185,14 @@ def main() -> None:
         "octave-over-octave;",
         "a value far above the WORK ratio flags a superlinear plan (the",
         "closing line reports which, computed from the measured ratios).",
-        "Caveat for the ANN family: their probe/centroid sets",
-        "are corpus-proportional slices (vec_id % k), so their WORK grows",
-        "quadratically with data by construction (2x data = 4x",
-        "probe-corpus products) — knn_bruteforce is the deliberate exact",
-        "baseline; a wall ratio near the DATA ratio there means the plan",
-        "scales sublinearly in its work.  The two quadratic-work probes",
-        "skip the sf8.0 cell (\"—\"): that cell is ~20 min/run of",
-        "by-construction probe-corpus products, and sf0.5→4.0 already",
-        "pins their trend.",
+        "The ANN rows (`knn_bruteforce_fix64`, `knn_ivf_fix64`) probe the",
+        "DEPLOYMENT shape — a fixed 64-query batch and a fixed",
+        "256-centroid coarse quantizer over the growing corpus — so their",
+        "work is linear in corpus rows and the same 2x-per-octave rule",
+        "applies (the REGISTERED knn entries keep corpus-proportional",
+        "vec_id%k slices for oracle checkability; probing those measures",
+        "the harness's quadratic work, not the engine — r8's only",
+        "confirmed flags were that artifact).",
         "",
         "| query | sf0.001 | sf0.01 | sf0.1 | sf0.5 | sf1.0 | sf2.0 "
         "| sf4.0 | sf8.0 | x10 | x5 | x2a | x2b | x2c | x2d |",
@@ -160,7 +204,7 @@ def main() -> None:
                "x2c": (SF20_DIR, SF40_DIR), "x2d": (SF40_DIR, SF80_DIR)}
 
     def fmt(x: float, suffix: str = "") -> str:
-        if x != x:  # NaN: the deliberately-skipped sf8.0 ANN cells
+        if x != x:  # NaN guard (no probe skips cells anymore)
             return "—"
         return f"{x:.1f}{suffix}" if suffix else f"{x:.2f}"
 
