@@ -111,8 +111,24 @@ def _emit(full: dict) -> str:
             "canary_s": full["canary_s"],
             "value": full["value"],
         })
-        if len(line) < LINE_BUDGET or top_n == 0:
+        if len(line) < LINE_BUDGET:
             return line
+        if top_n == 0:
+            # even with zero entries the fixed metadata + notes exceed
+            # the budget — truncating notes keeps the recorder contract
+            # (ADVICE r8: silently returning an over-budget line would
+            # reintroduce the r2-r7 tail truncation this exists to fix)
+            overshoot = len(line) - (LINE_BUDGET - 1)
+            notes = full["notes"]
+            if len(notes) <= overshoot:
+                raise RuntimeError(
+                    f"bench line over LINE_BUDGET ({len(line)} >= "
+                    f"{LINE_BUDGET}) even with empty queries and notes — "
+                    "shrink the fixed metadata")
+            full = dict(full, notes=notes[:len(notes) - overshoot - 3]
+                        + "...")
+            top_n = 0
+            continue
         top_n -= 1
 
 

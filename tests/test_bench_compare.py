@@ -111,3 +111,56 @@ def test_raw_stdout_capture_loads(tmp_path):
     p.write_text("some warning line\n" + line + "\n")
     side = bc.load(str(p))
     assert side["queries"] == {"q": 1.5} and side["canary"] == 2.0
+
+
+def _two_files(tmp_path, n=4):
+    qs = {f"q{i}": 1.0 + i for i in range(n)}
+    st = {f"q{i}": float(i) for i in range(n)}
+    old = _artifact(qs, st, 1.0, 1.0, 100.0)
+    new = _artifact(qs, st, 1.0, 1.0, 100.0)
+    p_old, p_new = tmp_path / "old.json", tmp_path / "new.json"
+    p_old.write_text(json.dumps(old))
+    p_new.write_text(json.dumps(new))
+    return str(p_old), str(p_new)
+
+
+def test_top_option_is_consumed_not_positional(tmp_path, capsys):
+    """ADVICE r8: `--top 5` used to leave `5` in the positional list and
+    exit 2 on usage; and `--top` as the last token IndexError'd."""
+    p_old, p_new = _two_files(tmp_path)
+    assert bc.main([p_old, p_new, "--top", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "common entries: 4" in out
+    # --top with no value: clean usage error, not a crash
+    assert bc.main([p_old, p_new, "--top"]) == 2
+    assert bc.main([p_old, p_new, "--top", "xyz"]) == 2
+    # unknown options are rejected instead of silently ignored
+    assert bc.main([p_old, p_new, "--bogus"]) == 2
+
+
+def test_short_row_lists_print_each_entry_once(tmp_path, capsys):
+    """ADVICE r8: rows[:top] + rows[-3:] duplicated entries around the
+    '...' separator whenever common entries < top + 3."""
+    p_old, p_new = _two_files(tmp_path, n=4)
+    assert bc.main([p_old, p_new]) == 0
+    out = capsys.readouterr().out
+    for i in range(4):
+        assert out.count(f"q{i} ") == 1, out
+    assert "..." not in out
+
+
+def test_fallback_flags_labeled_unattributable(tmp_path, capsys):
+    """ADVICE r8: in raw_fallback mode the raw ratio still embeds host
+    speed, so flags must not claim REGRESSION."""
+    qs_old = {"big_q": 10.0}
+    old = _artifact(qs_old, {}, 1.0, 16.0, 100.0)   # nonstationary
+    old["entry_started_s"] = {}
+    new = _artifact({"big_q": 15.0}, {"big_q": 0.0}, 1.0, 1.0, 100.0)
+    p_old, p_new = tmp_path / "o.json", tmp_path / "n.json"
+    p_old.write_text(json.dumps(old))
+    p_new.write_text(json.dumps(new))
+    assert bc.main([str(p_old), str(p_new)]) == 0
+    out = capsys.readouterr().out
+    assert "UNATTRIBUTABLE?" in out
+    assert "REGRESSION?" not in out
+    assert "unattributable" in out

@@ -97,3 +97,19 @@ def test_budget_holds_under_hostile_name_lengths(emit_to_tmp):
     parsed = json.loads(line)
     assert parsed["value"] > 0
     assert len(parsed["queries"]) < bench.TOP_N or bench.TOP_N == 0
+
+
+def test_oversized_notes_truncated_at_zero_entries(emit_to_tmp):
+    """ADVICE r8: if the fixed metadata + notes alone exceed LINE_BUDGET,
+    _emit must truncate the notes rather than silently return an
+    over-budget line (which would reintroduce the recorder truncation)."""
+    full = _full()
+    full["notes"] = "n" * (bench.LINE_BUDGET + 500)
+    line = bench._emit(full)
+    assert len(line) < bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["notes"].endswith("...")
+    assert parsed["value"] == full["value"]          # scalars survive
+    # the FULL artifact keeps the untruncated notes
+    saved = json.loads(emit_to_tmp.read_text())
+    assert saved["notes"] == full["notes"]

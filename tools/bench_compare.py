@@ -187,19 +187,43 @@ def compare(old: dict, new: dict, floor_sub: float = 1.4,
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
+    top = 10
+    json_out = False
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--top":
+            # consume the VALUE token too (a bare positional filter would
+            # count it as a third path and exit on usage — ADVICE r8)
+            if i + 1 >= len(argv):
+                print("ERROR: --top requires an integer value")
+                return 2
+            try:
+                top = int(argv[i + 1])
+            except ValueError:
+                print(f"ERROR: --top requires an integer, "
+                      f"got {argv[i + 1]!r}")
+                return 2
+            i += 2
+            continue
+        if a == "--json":
+            json_out = True
+        elif a.startswith("--"):
+            print(f"ERROR: unknown option {a}")
+            print(__doc__)
+            return 2
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         return 2
-    top = 10
-    for i, a in enumerate(argv):
-        if a == "--top":
-            top = int(argv[i + 1])
     result = compare(load(args[0]), load(args[1]))
     if result["sf_old"] != result["sf_new"]:
         print(f"WARNING: comparing sf={result['sf_old']} against "
               f"sf={result['sf_new']} — per-entry ratios mix scales")
-    if "--json" in argv:
+    if json_out:
         out = dict(result)
         out["rows"] = sorted(out["rows"], key=lambda r: -r["norm_local"])
         print(json.dumps(out))
@@ -213,21 +237,34 @@ def main(argv: list[str]) -> int:
           f"median ratio raw: {result['median_raw_ratio']} "
           f"canary-normalized: {result['median_norm_ratio']}   "
           f"flags on: {result['normalization']}")
-    sort_key = ("raw" if result["normalization"] == "raw_fallback"
-                else "norm_local")
+    fallback = result["normalization"] == "raw_fallback"
+    sort_key = "raw" if fallback else "norm_local"
     rows = sorted(result["rows"], key=lambda r: -r[sort_key])
+    # In fallback mode the raw ratio still embeds the overall host-speed
+    # difference between runs (ADVICE r8): a uniformly slower host would
+    # mark every sizeable entry, so the flag is honest about what it can
+    # and cannot attribute.
+    flag_label = "UNATTRIBUTABLE?" if fallback else "REGRESSION?"
     print(f"{'entry':<38}{'old_s':>8}{'new_s':>8}{'raw':>7}"
           f"{'norm':>7}{'local':>7}  flag")
-    for r in rows[:top] + [None] + rows[-3:]:
+    head = rows[:top]
+    # only elide + show the tail when rows actually extend past the head
+    # (rows[:top] + rows[-3:] would duplicate entries on short lists)
+    tail = rows[-3:] if len(rows) > top + 3 else rows[top:]
+    for r in head + ([None] if len(rows) > top + 3 else []) + tail:
         if r is None:
             print("  ...")
             continue
         print(f"{r['entry']:<38}{r['old_s']:>8.3f}{r['new_s']:>8.3f}"
               f"{r['raw']:>7.2f}{r['norm']:>7.2f}{r['norm_local']:>7.2f}"
-              f"  {'REGRESSION?' if r['flag'] else ''}")
+              f"  {flag_label if r['flag'] else ''}")
     if not result["flagged"]:
         print("no entry exceeds its noise floor after drift-local "
               "canary normalization")
+    elif fallback:
+        print(f"{len(result['flagged'])} entries exceed the raw-ratio "
+              "floor, but raw ratios cannot separate host speed from "
+              "code — treat as unattributable, not regressions")
     return 0
 
 
