@@ -88,60 +88,60 @@ for _m in _MODULES:
 # cheapest-first within each tier (r7 sf0.1 bench medians) so an early
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- stale tier: newest change post-dates newest driver row --
-    "pack_sequences",
-    "token_count_bpe",
-    "text_stats",
-    "token_histogram",
+    # -- stale tier: newest change post-dates newest driver row
+    #    (the 13 r9 hint-discipline edits; tools/staleness.py
+    #    --suggest ordering, cheapest-first within tiers) --
+    "fact_orders",
+    "segment_priority_pivot_dynamic",
+    "segment_status_pivot",
+    "q10_returned_items",
+    "order_value_distribution",
+    "order_rank_in_segment",
+    "nation_market_share",
+    "revenue_rollup",
+    "q3_shipping_priority",
     "knn_bruteforce",
-    "q5_region_supplier_volume",  # r8 session-2 hint-discipline fix
-    "knn_ivf",
-    "knn_lsh_bucketed",
-    "corpus_prep",
-    "dq_documents",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "corpus_funnel",
-    # -- refresh tier: fresh but least-recently-sampled (34 with newest
-    # row r6, plus stg_customer as cheap r7 fill; dq_accepted_values
-    # dropped to make room for the q5 hint-discipline fix above) --
-    "stg_customer",
-    "sample_stratified",
-    "sample_per_stratum",
-    "stg_orders",
-    "mix_datasets",
-    "lang_id",
-    "media_decode_stub",
-    "masked_dim_customer_view",
-    "kmeans_clusters",
-    "knn_pq_adc",
-    "knn_ivfpq",
-    "knn_ivfpq_refined",
     "fact_lineitem",
-    "agg_pricing_summary",
-    "customer_order_gaps",
-    "events_asof_purchase",
-    "events_error_after_click",
-    "events_daily_from_hourly",
-    "events_daily_unique_users_hll",
-    "events_conversion_funnel",
-    "events_json_typed",
-    "events_retention_cohorts",
-    "events_rolling_hour_range",
-    "events_daily_anomalies",
-    "event_path_trigrams",
-    "doc_fingerprint",
-    "doc_repetition_filter",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "ann_lsh_buckets",
-    "embedding_stats",
-    "binary_metadata",
-    "frame_sample_plan",
-    "contamination_check",
+    "part_brand_revenue",
+    "top_customers_by_revenue",
+    # -- refresh tier: fresh but least-recently-sampled --
+    "dim_date",
+    "dq_accepted_values",
+    "masked_customers",
+    "order_status_histogram",
+    "order_price_histogram",
+    "dim_priority",
+    "dim_part",
+    "dq_orphan_lineitems",
+    "order_version_history",
+    "user_daily_activity",
+    "customers_without_orders",
+    "events_sliding_windows",
+    "supplier_region_summary",
+    "latest_order_per_customer",
+    "events_salted_type_totals",
+    "pack_sequences_rows",
+    "stg_lineitem",
+    "events_sessionized",
+    "dq_duplicate_keys",
+    "customer_running_revenue",
+    "events_hourly_by_type",
+    "orders_above_customer_average",
+    "sql_api_pricing_summary",
+    "status_priority_cube",
+    "returned_or_open_orders",
+    "events_json_props",
+    "audit_principal_last7d",
+    "audit_anomalous_access",
+    "dim_customer",
+    "audit_object_access",
+    "fuzzy_customer_pairs",
+    "price_percentiles_approx",
+    "premium_payment_summary",
+    "recon_metrics_unpivot",
+    "recon_global_aggregates",
+    "market_basket_pairs",
+    "price_percentiles",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
