@@ -371,3 +371,30 @@ def test_fact_claims_bucketed_join_no_exchange(pipeline_outputs, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS test_fcb_claims")
         spark.sql("DROP TABLE IF EXISTS test_fcb_policies")
+
+
+def test_gold_builders_hint_disciplined(pipeline_outputs, spark):
+    """The registry-level hint invariant (tests/test_plans.py) cannot see
+    the medallion gold builders, which the r8 verdict listed in the same
+    OOM class — policies / premium_summary / properties are
+    corpus-proportional, so no broadcast hint may cover them. Build each
+    gold frame over the pipeline's silver outputs and assert zero
+    corpus-scanning hints in the analyzed plans."""
+    from redshift_to_lakehouse_migration_spark.medallion.gold import (
+        build_dim_policy, build_fact_claims, build_fact_premiums,
+        build_premium_summary)
+    from tools.plan_audit import broadcast_hint_corpus_scans
+
+    outputs, _, _ = pipeline_outputs
+    ps = build_premium_summary(outputs["silver_premiums"])
+    frames = {
+        "dim_policy": build_dim_policy(
+            outputs["silver_policies"], ps, AS_OF),
+        "fact_claims": build_fact_claims(
+            outputs["silver_claims"], outputs["silver_policies"],
+            outputs["silver_properties"]),
+        "fact_premiums": build_fact_premiums(
+            outputs["silver_premiums"], outputs["silver_policies"]),
+    }
+    for name, df in frames.items():
+        assert broadcast_hint_corpus_scans(df) == [], name
