@@ -234,23 +234,26 @@ def main() -> None:
     # one cold-cache sf4 run that a 3-rep re-measure showed as FASTER than
     # sf2 warm (plan identical, 5 BHJ / 0 SMJ at both — hinted broadcasts
     # cannot flip with data size).  So a flag is only CONFIRMED after a
-    # median-of-3 re-measure of both octave endpoints still exceeds the
+    # median-of-5 re-measure of both octave endpoints still exceeds the
     # work ratio by >10%; otherwise it is dismissed as measurement noise,
     # with the re-run medians and both endpoints' join-strategy counts in
-    # the artifact either way.
+    # the artifact either way.  Five reps, not three (r9): at the sf8
+    # cells GC/page-cache variance spans ~1.8x rep-to-rep (measured
+    # knn_ivf_fix64 sf8: 43-78 s over 5 reps), so a median-of-3 can land
+    # on a slow triple and confirm a flag a 5-rep median dismisses.
     flagged: list[str] = []
     dismissed: list[str] = []
     for name, label, r_single, work2 in candidates:
         lo_dir, hi_dir = OCTAVES[label]
         med = {}
         for d_ in (lo_dir, hi_dir):
-            reps = sorted(timed_run(name, d_) for _ in range(3))
-            med[d_] = reps[1]
+            reps = sorted(timed_run(name, d_) for _ in range(5))
+            med[d_] = reps[2]
         r_med = med[hi_dir] / med[lo_dir] if med[lo_dir] > 0 else float("nan")
         plans = (f"plans lo[{join_counts(name, lo_dir)}] "
                  f"hi[{join_counts(name, hi_dir)}]")
         detail = (f"{name} {label}: single-run {r_single:.1f}x, "
-                  f"median-of-3 {r_med:.1f}x "
+                  f"median-of-5 {r_med:.1f}x "
                   f"({med[lo_dir]:.2f}s → {med[hi_dir]:.2f}s) "
                   f"vs {work2:.0f}x work; {plans}")
         if r_med > work2 * 1.1:
@@ -266,12 +269,12 @@ def main() -> None:
                   f"{worst2:.1f}x.",
               "",
               f"Probes whose x2 growth exceeds their x2 WORK ratio after "
-              f"median-of-3 endpoint confirmation (superlinear-plan flag): "
+              f"median-of-5 endpoint confirmation (superlinear-plan flag): "
               f"{verdict}."]
     if dismissed:
         lines += ["",
                   "Single-run candidates dismissed as noise by the "
-                  "median-of-3 re-measure (kept for the record): "
+                  "median-of-5 re-measure (kept for the record): "
                   + "; ".join(dismissed) + "."]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
