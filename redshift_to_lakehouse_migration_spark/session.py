@@ -72,6 +72,14 @@ def get_spark(app_name: str = "redshift_to_lakehouse_migration_spark",
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # A get_spark-built session is fully tuned BY CONSTRUCTION: the builder
+    # applied every DEFAULT_CONF key, and extra_conf entries are deliberate
+    # caller overrides (a test running shuffle.partitions=4 for speed).
+    # Mark it so the first tables.load's tune_for_session doesn't clobber
+    # those overrides back to DEFAULT_CONF mid-process — the r10 conf-
+    # pollution guard caught exactly that: the test session's 4 shuffle
+    # partitions silently became 32 on the first load() of the suite.
+    spark.conf.set("spark.graft.sessionTuned", "true")
     return spark
 
 

@@ -139,9 +139,11 @@ def test_tune_for_session_respects_pinned_confs(spark):
             spark.conf.unset("spark.graft.sessionTuned")
         else:
             spark.conf.set("spark.graft.sessionTuned", saved_tuned)
-        # restore the full tuned state for subsequent tests
-        spark.conf.unset("spark.graft.sessionTuned")
-        tune_for_session(spark)
+        # NO trailing re-tune: get_spark-built sessions are tuned by
+        # construction (sessionTuned set at build), and a tune_for_session
+        # here would clobber the conftest's shuffle.partitions=4 override
+        # back to DEFAULT_CONF for every later test — the exact pollution
+        # class the _session_conf_guard exists to catch.
 
 
 def test_dsum_corrupt_input_policy(spark):

@@ -53,6 +53,7 @@ def test_compaction_refuses_stale_swap_residue(spark, tmp_path):
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    _saved_abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         orders = load(spark, SF, "orders")
@@ -76,7 +77,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Exchange hashpartitioning" in raw_plan
         assert joined.count() == raw.count()
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # set, not unset: unset falls back to Spark's global 10MB
+        # default rather than the session's 64MB builder conf, which
+        # silently degraded every later test's broadcast planning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_abjt)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 

@@ -30,7 +30,7 @@ import pytest
 
 from redshift_to_lakehouse_migration_spark.queries import ORACLES, QUERIES
 
-from test_queries_oracle import _hash
+from test_queries_oracle import assert_rows_match
 
 # documents-only, oracle-bearing queries (the text/curation surface)
 TEXT_QUERIES = [
@@ -115,4 +115,5 @@ def test_text_query_matches_oracle_on_random_corpus(name, spark,
     d_rows = rel.fetchall()
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
-    assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
+    assert_rows_match(s_rows, sdf.columns, d_rows, rel.columns,
+                      context=f" [{name}]")

@@ -37,7 +37,7 @@ import pytest
 from redshift_to_lakehouse_migration_spark.queries import ORACLES, QUERIES
 
 from test_oracle_differential import _ALPHABET, _random_corpus
-from test_queries_oracle import _hash
+from test_queries_oracle import assert_rows_match
 
 import os
 
@@ -232,7 +232,8 @@ def test_oracle_parity_on_hostile_random_db(name, spark, hostile_sf_dir,
     d_rows = rel.fetchall()
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
-    assert _hash(s_rows, sdf.columns) == _hash(d_rows, rel.columns)
+    assert_rows_match(s_rows, sdf.columns, d_rows, rel.columns,
+                      context=f" [{name}]")
 
 
 NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))

@@ -136,12 +136,16 @@ def test_relationships_ref_side_broadcast(spark):
     child = spark.createDataFrame([("C1", "P1")],
                                   "claim_id string, policy_id string")
     parent = spark.createDataFrame([("P1",)], "policy_id string")
+    _saved_abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:  # -1 disables AUTO broadcast: only the explicit hint can produce it
         orphans = q._orphans(child, "policy_id", parent, "policy_id")
         plan = orphans._jdf.queryExecution().executedPlan().toString()
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # set, not unset: unset falls back to Spark's global 10MB
+        # default rather than the session's 64MB builder conf, which
+        # silently degraded every later test's broadcast planning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_abjt)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
@@ -152,13 +156,17 @@ def test_relationships_shuffled_fallback_for_big_refs(spark):
     child = spark.createDataFrame([("C1", "P1")],
                                   "claim_id string, policy_id string")
     parent = spark.createDataFrame([("P1",)], "policy_id string")
+    _saved_abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         orphans = q._orphans(child, "policy_id", parent, "policy_id",
                              broadcast_ref=False)
         plan = orphans._jdf.queryExecution().executedPlan().toString()
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # set, not unset: unset falls back to Spark's global 10MB
+        # default rather than the session's 64MB builder conf, which
+        # silently degraded every later test's broadcast planning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_abjt)
     assert "BroadcastHashJoin" not in plan and "LeftAnti" in plan
     # and the result is the same empty orphan set
     assert orphans.count() == 0
