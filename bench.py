@@ -120,7 +120,12 @@ def _emit(full: dict) -> str:
             # reintroduce the r2-r7 tail truncation this exists to fix)
             overshoot = len(line) - (LINE_BUDGET - 1)
             notes = full["notes"]
-            if len(notes) <= overshoot:
+            # <= overshoot + 3, not <= overshoot: the replacement appends
+            # a 3-char ellipsis, so a notes length within 3 of the
+            # overshoot would make the slice index negative and GROW the
+            # notes each iteration — an infinite loop instead of the
+            # loud failure (ADVICE r9)
+            if len(notes) <= overshoot + 3:
                 raise RuntimeError(
                     f"bench line over LINE_BUDGET ({len(line)} >= "
                     f"{LINE_BUDGET}) even with empty queries and notes — "

@@ -164,3 +164,12 @@ def test_fallback_flags_labeled_unattributable(tmp_path, capsys):
     assert "UNATTRIBUTABLE?" in out
     assert "REGRESSION?" not in out
     assert "unattributable" in out
+
+
+def test_top_rejects_nonpositive(tmp_path):
+    """ADVICE r9: --top 0 / negative made rows[:top] silently drop the
+    slowest tail while the elision footer still rendered — a table that
+    looks complete but isn't. Strict option handling: exit 2."""
+    p_old, p_new = _two_files(tmp_path)
+    assert bc.main([p_old, p_new, "--top", "0"]) == 2
+    assert bc.main([p_old, p_new, "--top", "-2"]) == 2

@@ -113,3 +113,30 @@ def test_oversized_notes_truncated_at_zero_entries(emit_to_tmp):
     # the FULL artifact keeps the untruncated notes
     saved = json.loads(emit_to_tmp.read_text())
     assert saved["notes"] == full["notes"]
+
+
+def test_notes_truncation_near_boundary_raises_not_hangs(emit_to_tmp):
+    """ADVICE r9: when len(notes) exceeds the overshoot by 1-3 chars the
+    old slice index went negative, so the '...' suffix GREW the notes each
+    iteration — an infinite loop instead of the loud RuntimeError. Craft
+    fixed metadata landing exactly at LINE_BUDGET-2 so the boundary is hit
+    deterministically."""
+    import re
+
+    import pytest
+
+    full = _full()
+    full["queries"] = {}
+    # measure the fixed-metadata length: with empty notes the RuntimeError
+    # message reports the rendered line length directly
+    probe = dict(full, sf="s" * 2000, notes="")
+    with pytest.raises(RuntimeError) as ei:
+        bench._emit(probe)
+    c = int(re.search(r"\((\d+) >=", str(ei.value)).group(1))
+    # shrink the sf padding so fixed metadata = LINE_BUDGET - 2, making
+    # len(notes) - overshoot == 1 for ANY notes length (the hang case)
+    pad = 2000 - (c - (bench.LINE_BUDGET - 2))
+    assert pad > 0, "LINE_BUDGET shrank below the fixed metadata floor"
+    crafted = dict(full, sf="s" * pad, notes="x" * 50)
+    with pytest.raises(RuntimeError):
+        bench._emit(crafted)

@@ -162,16 +162,19 @@ def test_no_undeclared_corpus_broadcast_hints(spark):
     Also pins the declarations against rot: a declared query whose
     corpus-scanning hints vanished must leave the allowlist."""
     from tools.plan_audit import (DECLARED_BOUNDED_HINTS,
-                                  broadcast_hint_corpus_scans)
+                                  broadcast_hint_corpus_scans,
+                                  undeclared_hint_excess)
     seen_bounded = set()
     for name, fn in QUERIES.items():
         hits = broadcast_hint_corpus_scans(fn(spark, SF))
-        allowed = DECLARED_BOUNDED_HINTS.get(name, (0,))[0]
-        assert len(hits) <= allowed, (
-            f"{name}: {len(hits)} corpus-scanning broadcast hint(s) "
-            f"{hits} vs declared {allowed} — drop the hint (let the "
+        declared = DECLARED_BOUNDED_HINTS.get(name, ([],))[0]
+        excess = undeclared_hint_excess(hits, declared)
+        assert not excess, (
+            f"{name}: corpus-scanning broadcast hint signature(s) {excess} "
+            f"beyond the declared {declared} — drop the hint (let the "
             "size-checked threshold path pick the join) or, if the "
-            "subtree is genuinely corpus-independent, declare it")
+            "subtree is genuinely corpus-independent, declare its exact "
+            "scanned-table signature")
         if hits:
             seen_bounded.add(name)
     stale = set(DECLARED_BOUNDED_HINTS) - seen_bounded
@@ -199,3 +202,24 @@ def test_rehinted_corpus_join_flags(spark):
     one_row = o.groupBy().agg(F.count("*").alias("n"))
     assert broadcast_hint_corpus_scans(
         c.crossJoin(F.broadcast(one_row))) == [["orders"]]
+
+
+def test_hint_signature_swap_flags():
+    """ADVICE r9: a count-only declaration let a query swap a bounded-side
+    hint for a DIFFERENT corpus-proportional one at the same count. The
+    signature multiset must catch the swap, extra hints, and respect
+    multiplicity in both directions."""
+    from tools.plan_audit import undeclared_hint_excess
+
+    # same count, different table — the exact hole being closed
+    assert undeclared_hint_excess(
+        [["customer"]], [["embeddings"]]) == [["customer"]]
+    # one more hint of a declared signature still flags
+    assert undeclared_hint_excess(
+        [["events"], ["events"]], [["events"]]) == [["events"]]
+    # fewer hints than declared is fine (stale-ness is reported separately)
+    assert undeclared_hint_excess([["events"]], [["events"], ["events"]]) == []
+    # multi-table signatures compare as a unit, order-normalized upstream
+    assert undeclared_hint_excess(
+        [["<leaf:LogicalRDD>", "embeddings"]],
+        [["<leaf:LogicalRDD>", "embeddings"]]) == []

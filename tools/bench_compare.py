@@ -205,6 +205,12 @@ def main(argv: list[str]) -> int:
                 print(f"ERROR: --top requires an integer, "
                       f"got {argv[i + 1]!r}")
                 return 2
+            if top < 1:
+                # rows[:0] / rows[:negative] would silently DROP the
+                # slowest-tail entries while the elision footer still
+                # renders — a table that looks complete but isn't
+                print(f"ERROR: --top must be >= 1, got {top}")
+                return 2
             i += 2
             continue
         if a == "--json":

@@ -36,41 +36,93 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 #      before the hint (a one-row global aggregate, the per-type moment
 #      table, the k trained centroids / PQ codebooks, the declared probe
 #      top-k, the external-benchmark gram set).  These must be DECLARED
-#      below with their expected hint count and a re-verifiable reason;
-#      an undeclared corpus-scanning hint — or a declared query GAINING
-#      one — flags YES and fails tests/test_plans.py.
+#      below with their expected per-hint scanned-table signature and a
+#      re-verifiable reason; an undeclared corpus-scanning hint — a
+#      declared query GAINING one, or swapping a declared signature for
+#      a different table at the same count — flags YES and fails
+#      tests/test_plans.py.
 BOUNDED_TABLES = {"nation", "region"}
 
-# Expected corpus-scanning broadcast-hint count per query, measured at
-# sf0.001 (hint COUNT is sf-independent: it is a property of the logical
-# plan, not of sizes). The trained-centroid / PQ-codebook frames do NOT
-# appear here although they derive from the corpus: kmeans_fit
-# localCheckpoints them, so their analyzed plans are materialized
-# LogicalRDDs of k rows — bounded by construction, no scan to flag.
-DECLARED_BOUNDED_HINTS: dict[str, tuple[int, str]] = {
+# Expected corpus-scanning broadcast-hint SIGNATURE per query: one sorted
+# scanned-table list per hint, measured at sf0.001 (the signature is
+# sf-independent: it is a property of the logical plan, not of sizes).
+# Pinning the signature rather than a bare count (ADVICE r9) means a
+# declared query cannot swap a bounded-side hint for a DIFFERENT
+# corpus-proportional one at the same count — the swapped entry fails the
+# multiset containment in ``undeclared_hint_excess``.
+#
+# ``<leaf:LogicalRDD>`` entries are the localCheckpointed k-row centroid /
+# PQ-codebook frames (kmeans_fit materializes them, so their analyzed
+# plans are LogicalRDD leaves — bounded by construction at k rows; the
+# r9 catch-all in _tables_under now surfaces them for declaration instead
+# of walking past them silently).
+DECLARED_BOUNDED_HINTS: dict[str, tuple[list, str]] = {
     "audit_anomalous_access": (
-        3, "one-row high-water-mark / per-principal total aggregates"),
-    "audit_principal_last7d": (1, "one-row high-water-mark aggregate"),
+        [["events"], ["events"], ["events"]],
+        "one-row high-water-mark / per-principal total aggregates"),
+    "audit_principal_last7d": (
+        [["events"]], "one-row high-water-mark aggregate"),
     "contamination_check": (
-        1, "benchmark gram set — external-benchmark-sized; the doc_id%MOD "
-           "slice is the harness stand-in, deployment side is a fixed "
-           "eval-suite artifact"),
-    "corpus_funnel": (1, "same benchmark gram set as contamination_check"),
-    "events_conversion_funnel": (3, "one-row stage-count aggregates"),
+        [["documents"]],
+        "benchmark gram set — external-benchmark-sized; the doc_id%MOD "
+        "slice is the harness stand-in, deployment side is a fixed "
+        "eval-suite artifact"),
+    "corpus_funnel": (
+        [["documents"]],
+        "same benchmark gram set as contamination_check"),
+    "events_conversion_funnel": (
+        [["events"], ["events"], ["events"]],
+        "one-row stage-count aggregates"),
     "events_daily_anomalies": (
-        1, "per-event-type moment table — bounded by the event-type "
-           "domain, not corpus rows"),
+        [["events"]],
+        "per-event-type moment table — bounded by the event-type "
+        "domain, not corpus rows"),
+    "kmeans_clusters": (
+        [["<leaf:LogicalRDD>"], ["<leaf:LogicalRDD>"]],
+        "k localCheckpointed centroids (argmax assignment)"),
     "knn_bruteforce": (
-        2, "probe set + probe top-k label re-attach (fixed-size query "
-           "batch in deployment; corpus-proportional only in the harness "
-           "slice)"),
-    "knn_ivf": (2, "probe set (assign + bucket-probe)"),
-    "knn_ivfpq": (3, "probe set + per-query ADC distance table"),
+        [["embeddings"], ["embeddings"]],
+        "probe set + probe top-k label re-attach (fixed-size query "
+        "batch in deployment; corpus-proportional only in the harness "
+        "slice)"),
+    "knn_ivf": (
+        [["embeddings"], ["embeddings"]],
+        "probe set (assign + bucket-probe)"),
+    "knn_ivfpq": (
+        [["<leaf:LogicalRDD>"], ["<leaf:LogicalRDD>"],
+         ["<leaf:LogicalRDD>", "embeddings"],
+         ["embeddings"], ["embeddings"]],
+        "probe set + k centroids / PQ codebooks + per-query ADC "
+        "distance table (|queries| x m x k)"),
     "knn_ivfpq_refined": (
-        4, "probe set + ADC distance table + refine-stage probe vectors"),
-    "knn_pq_adc": (1, "per-query ADC distance table (|queries| x m x k)"),
-    "mix_datasets": (1, "one-row grand-total aggregate"),
+        [["<leaf:LogicalRDD>"], ["<leaf:LogicalRDD>"],
+         ["<leaf:LogicalRDD>", "embeddings"],
+         ["embeddings"], ["embeddings"], ["embeddings"]],
+        "probe set + codebooks + ADC distance table + refine-stage "
+        "probe vectors"),
+    "knn_pq_adc": (
+        [["<leaf:LogicalRDD>"], ["<leaf:LogicalRDD>"],
+         ["<leaf:LogicalRDD>", "embeddings"]],
+        "PQ codebooks + per-query ADC distance table (|queries| x m x k)"),
+    "mix_datasets": ([["documents"]], "one-row grand-total aggregate"),
 }
+
+
+def undeclared_hint_excess(observed: list, declared: list) -> list:
+    """Observed hint signatures beyond the declared multiset. Each entry
+    is a sorted scanned-table list; containment is per-signature WITH
+    multiplicity, so neither an extra hint nor a same-count signature
+    swap can pass."""
+    from collections import Counter
+    budget = Counter(tuple(d) for d in declared)
+    excess = []
+    for o in observed:
+        key = tuple(o)
+        if budget[key] > 0:
+            budget[key] -= 1
+        else:
+            excess.append(o)
+    return excess
 
 
 def _tables_under(node, acc: set) -> None:
@@ -96,6 +148,14 @@ def _tables_under(node, acc: set) -> None:
             acc.add("<unknown>")
     elif cls in ("HiveTableRelation", "UnresolvedCatalogRelation"):
         acc.add("<managed:" + node.toString().splitlines()[0][:60] + ">")
+    elif node.children().size() == 0 and cls not in (
+            "LocalRelation", "OneRowRelation", "Range"):
+        # Catch-all for the docstring's "flags conservatively" contract
+        # (ADVICE r9): an unrecognized childless leaf — DataSourceV2Relation
+        # if the reader ever switches to v2, a LogicalRDD from a checkpoint,
+        # a future node class — is a scan this walker cannot bound, so it
+        # must surface for declaration rather than pass silently.
+        acc.add(f"<leaf:{cls}>")
     for i in range(node.children().size()):
         _tables_under(node.children().apply(i), acc)
 
@@ -157,11 +217,11 @@ def main() -> None:
         fmt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         corpus_hints = broadcast_hint_corpus_scans(df)
-        n_hints = len(corpus_hints)
+        declared_sig = DECLARED_BOUNDED_HINTS.get(name, ([],))[0]
         hint_flag = (
-            "no" if n_hints == 0
+            "no" if not corpus_hints
             else ("bounded"
-                  if n_hints <= DECLARED_BOUNDED_HINTS.get(name, (0,))[0]
+                  if not undeclared_hint_excess(corpus_hints, declared_sig)
                   else "YES"))
         rows.append({
             "name": name,
@@ -240,8 +300,10 @@ def main() -> None:
     if bounded_hints:
         lines += ["", "Declared bounded corpus-scanning hint sites (the "
                       "subtree scans a corpus table but reduces it to a "
-                      "corpus-independent cardinality before the hint):"]
-        lines += [f"- `{n}` — expected hint count "
+                      "corpus-independent cardinality before the hint); "
+                      "each pins the exact per-hint scanned-table "
+                      "signature, so a same-count signature swap flags:"]
+        lines += [f"- `{n}` — expected signature "
                   f"{DECLARED_BOUNDED_HINTS[n][0]}: "
                   f"{DECLARED_BOUNDED_HINTS[n][1]}" for n in bounded_hints]
     if stale_hints:
