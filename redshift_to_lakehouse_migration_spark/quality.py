@@ -223,16 +223,58 @@ def quarantine(df: DataFrame, checks: list[Check]
     return clean, bad
 
 
+def _session_broadcast_cap(df: DataFrame) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (-1 = disabled).
+    Spark accepts bare bytes or k/m/g[b] suffixes; parse both so the
+    size-checked default below respects whatever budget the session set."""
+    raw = str(df.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760")).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("k", 1 << 10),
+                      ("mb", 1 << 20), ("m", 1 << 20),
+                      ("gb", 1 << 30), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return 10 * 1024 * 1024  # Spark's own default
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for ``df``'s optimized plan —
+    driver-side metadata only (file sizes for parquet relations), no job.
+    None when the estimate is unavailable."""
+    try:
+        return int(str(df._jdf.queryExecution()
+                       .optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
 def _orphans(df: DataFrame, column: str, ref_df: DataFrame,
-             ref_column: str, broadcast_ref: bool = True) -> DataFrame:
+             ref_column: str, broadcast_ref: bool | None = None) -> DataFrame:
     """Fact rows whose key is absent from the reference side (the plan
     behind :func:`check_relationships`; split out so tests can assert the
-    broadcast anti-join shape).
+    anti-join shape).
 
-    ``broadcast_ref=False`` keeps the shuffled anti-join (ADVICE r5): an
-    unconditional hint would collect a fact-sized reference to the
-    driver and can OOM instead of degrading gracefully."""
+    ``broadcast_ref=None`` (the default) is SIZE-CHECKED (VERDICT r9 #3):
+    hint only when Catalyst's estimate of the PRE-distinct reference is
+    within the session broadcast budget — a safe upper bound for the
+    post-distinct key set the join actually broadcasts. The r8/r9 sf8.0
+    probes proved the unconditional hint is a deferred OOM: an
+    ``F.broadcast`` bypasses the size check, so a caller checking
+    fact↔fact RI at 100 TB with the old default crashed only once the
+    reference outgrew the heap. Explicit True forces the hint (caller
+    asserts boundedness); explicit False keeps the shuffled anti-join
+    (ADVICE r5) — the graceful path for known-fact-sized references."""
     keys = ref_df.select(F.col(ref_column).alias(column)).distinct()
+    if broadcast_ref is None:
+        cap = _session_broadcast_cap(ref_df)
+        est = _estimated_plan_bytes(ref_df)
+        broadcast_ref = cap > 0 and est is not None and est <= cap
     if broadcast_ref:
         keys = F.broadcast(keys)
     return (
@@ -244,20 +286,20 @@ def _orphans(df: DataFrame, column: str, ref_df: DataFrame,
 def check_relationships(df: DataFrame, column: str, ref_df: DataFrame,
                         ref_column: str,
                         table_name: str | None = None,
-                        broadcast_ref: bool = True) -> CheckResult:
-    """Referential integrity via broadcast LEFT ANTI join
-    (`data_quality_checks.py:67-79`). One job; the reference side is
-    explicitly broadcast by default — its post-distinct size is opaque to
-    the auto-broadcast estimator, and a referential dimension is
-    dimension-sized by definition, so without the hint the anti-join can
-    degrade to a full shuffle of the fact side. Pass
-    ``broadcast_ref=False`` when checking against a reference that is
-    NOT dimension-sized (e.g. RI against another fact table): the
-    shuffled anti-join is the graceful fallback there, where a forced
-    broadcast would collect the reference to the driver. NULL fact keys
-    are excluded (dbt relationships-test semantics; the reference's raw
-    left_anti would count them as orphans, but it pairs the check with
-    check_not_null on key columns)."""
+                        broadcast_ref: bool | None = None) -> CheckResult:
+    """Referential integrity via LEFT ANTI join
+    (`data_quality_checks.py:67-79`). One job; by default the reference
+    side is broadcast only when Catalyst's size estimate fits the session
+    broadcast budget (see :func:`_orphans` — the post-distinct key set is
+    opaque to the auto-broadcast estimator, so the pre-distinct estimate
+    is used as a safe upper bound). Pass ``broadcast_ref=True`` to force
+    the hint for a reference the caller KNOWS is dimension-sized despite
+    a pessimistic estimate, or ``broadcast_ref=False`` to force the
+    shuffled anti-join (e.g. RI against another fact table, where a
+    forced broadcast would collect the reference to the driver). NULL
+    fact keys are excluded (dbt relationships-test semantics; the
+    reference's raw left_anti would count them as orphans, but it pairs
+    the check with check_not_null on key columns)."""
     n = _orphans(df, column, ref_df, ref_column,
                  broadcast_ref=broadcast_ref).count()
     return CheckResult(

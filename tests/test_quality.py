@@ -130,16 +130,18 @@ def test_composite_unique_no_encoding_collisions(spark):
     assert not r2.passed and r2.failed_count == 1
 
 
-def test_relationships_ref_side_broadcast(spark):
-    """The anti-join must carry the explicit broadcast hint — without it
-    a post-distinct ref side can degrade to a full fact-side shuffle."""
+def test_relationships_forced_broadcast_still_available(spark):
+    """``broadcast_ref=True`` must still force the hint for a caller that
+    KNOWS the reference is dimension-sized despite a pessimistic estimate
+    (a post-distinct key set the estimator can't see)."""
     child = spark.createDataFrame([("C1", "P1")],
                                   "claim_id string, policy_id string")
     parent = spark.createDataFrame([("P1",)], "policy_id string")
     _saved_abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:  # -1 disables AUTO broadcast: only the explicit hint can produce it
-        orphans = q._orphans(child, "policy_id", parent, "policy_id")
+        orphans = q._orphans(child, "policy_id", parent, "policy_id",
+                             broadcast_ref=True)
         plan = orphans._jdf.queryExecution().executedPlan().toString()
     finally:
         # set, not unset: unset falls back to Spark's global 10MB
@@ -147,6 +149,41 @@ def test_relationships_ref_side_broadcast(spark):
         # silently degraded every later test's broadcast planning
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_abjt)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_relationships_default_is_size_checked(spark):
+    """VERDICT r9 #3: the DEFAULT may no longer hint unconditionally —
+    ``F.broadcast`` bypasses the size check, so the old default deferred
+    an OOM to whenever a caller checked fact↔fact RI at scale. With the
+    session broadcast budget exhausted (threshold -1), a corpus-table
+    reference under default args must produce a plan with NO broadcast
+    hint (the shuffled anti-join is the graceful path); with a healthy
+    budget and a measured-tiny reference, the hint fires and the plan
+    audit SEES it (the invariant now covers the quality entry point)."""
+    from redshift_to_lakehouse_migration_spark.tables import load
+    from tools.plan_audit import broadcast_hint_corpus_scans
+
+    SF = "/root/testdata/sf0.001"
+    orders = load(spark, SF, "orders")
+    lineitem = load(spark, SF, "lineitem")
+
+    _saved_abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orphans = q._orphans(lineitem.withColumnRenamed(
+            "l_orderkey", "o_orderkey"), "o_orderkey", orders, "o_orderkey")
+        # size-checked default under a zero budget: no hint anywhere
+        assert broadcast_hint_corpus_scans(orphans) == []
+        plan = orphans._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan and "LeftAnti" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_abjt)
+
+    # healthy budget + measured-tiny reference: the hint fires, and the
+    # audit walker reports the hinted corpus scan (declared-by-measurement)
+    orphans = q._orphans(lineitem.withColumnRenamed(
+        "l_orderkey", "o_orderkey"), "o_orderkey", orders, "o_orderkey")
+    assert broadcast_hint_corpus_scans(orphans) == [["orders"]]
 
 
 def test_relationships_shuffled_fallback_for_big_refs(spark):
