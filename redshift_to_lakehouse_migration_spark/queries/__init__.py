@@ -88,60 +88,62 @@ for _m in _MODULES:
 # cheapest-first within each tier (r7 sf0.1 bench medians) so an early
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- stale tier: newest change post-dates newest driver row
-    #    (the 13 r9 hint-discipline edits; tools/staleness.py
-    #    --suggest ordering, cheapest-first within tiers) --
-    "fact_orders",
-    "segment_priority_pivot_dynamic",
-    "segment_status_pivot",
-    "q10_returned_items",
-    "order_value_distribution",
-    "order_rank_in_segment",
-    "nation_market_share",
-    "revenue_rollup",
-    "q3_shipping_priority",
-    "knn_bruteforce",
-    "fact_lineitem",
-    "part_brand_revenue",
-    "top_customers_by_revenue",
-    # -- refresh tier: fresh but least-recently-sampled --
+    # -- r10 rotation (tools/staleness.py --suggest on the frozen
+    #    r10 source): ZERO stale queries — round 10 touched no
+    #    query fn or oracle span — so the whole sample is the
+    #    least-recently-sampled tier (newest green round ASC,
+    #    cheapest-first within it), rotating driver coverage onto
+    #    the 50 entries the r9 sample left longest unproven --
+    "stg_customer",
+    "stg_orders",
+    "sample_stratified",
+    "doc_fingerprint",
+    "frame_sample_plan",
+    "sample_per_stratum",
+    "token_count_bpe",
+    "events_rolling_hour_range",
+    "dq_documents",
+    "text_stats",
+    "events_json_typed",
+    "events_error_after_click",
+    "events_daily_unique_users_hll",
+    "pack_sequences",
+    "event_path_trigrams",
+    "customer_order_gaps",
+    "events_retention_cohorts",
+    "events_daily_from_hourly",
+    "dedup_exact",
+    "events_daily_anomalies",
+    "lang_id",
+    "events_asof_purchase",
+    "mix_datasets",
+    "embedding_stats",
+    "token_histogram",
+    "doc_repetition_filter",
+    "events_conversion_funnel",
+    "q5_region_supplier_volume",
+    "masked_dim_customer_view",
+    "agg_pricing_summary",
+    "corpus_prep",
+    "knn_ivf",
+    "knn_lsh_bucketed",
+    "dedup_embedding_cosine",
+    "ann_lsh_buckets",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "binary_metadata",
+    "contamination_check",
+    "dedup_simhash",
+    "knn_pq_adc",
+    "dedup_minhash_lsh",
+    "knn_ivfpq",
+    "media_decode_stub",
+    "kmeans_clusters",
+    "knn_ivfpq_refined",
+    "dedup_clusters",
+    "corpus_funnel",
     "dim_date",
     "dq_accepted_values",
-    "masked_customers",
-    "order_status_histogram",
-    "order_price_histogram",
-    "dim_priority",
-    "dim_part",
-    "dq_orphan_lineitems",
-    "order_version_history",
-    "user_daily_activity",
-    "customers_without_orders",
-    "events_sliding_windows",
-    "supplier_region_summary",
-    "latest_order_per_customer",
-    "events_salted_type_totals",
-    "pack_sequences_rows",
-    "stg_lineitem",
-    "events_sessionized",
-    "dq_duplicate_keys",
-    "customer_running_revenue",
-    "events_hourly_by_type",
-    "orders_above_customer_average",
-    "sql_api_pricing_summary",
-    "status_priority_cube",
-    "returned_or_open_orders",
-    "events_json_props",
-    "audit_principal_last7d",
-    "audit_anomalous_access",
-    "dim_customer",
-    "audit_object_access",
-    "fuzzy_customer_pairs",
-    "price_percentiles_approx",
-    "premium_payment_summary",
-    "recon_metrics_unpivot",
-    "recon_global_aggregates",
-    "market_basket_pairs",
-    "price_percentiles",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
