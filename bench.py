@@ -128,8 +128,10 @@ def _emit(full: dict) -> str:
             if len(notes) <= overshoot + 3:
                 raise RuntimeError(
                     f"bench line over LINE_BUDGET ({len(line)} >= "
-                    f"{LINE_BUDGET}) even with empty queries and notes — "
-                    "shrink the fixed metadata")
+                    f"{LINE_BUDGET}) with zero query entries and the notes "
+                    f"({len(notes)} chars) too short to absorb the "
+                    f"{overshoot}-char overshoot — shrink the fixed "
+                    "metadata")
             full = dict(full, notes=notes[:len(notes) - overshoot - 3]
                         + "...")
             top_n = 0

@@ -233,6 +233,8 @@ def _session_broadcast_cap(df: DataFrame) -> int:
     for suffix, m in (("kb", 1 << 10), ("k", 1 << 10),
                       ("mb", 1 << 20), ("m", 1 << 20),
                       ("gb", 1 << 30), ("g", 1 << 30),
+                      ("tb", 1 << 40), ("t", 1 << 40),
+                      ("pb", 1 << 50), ("p", 1 << 50),
                       ("b", 1)):
         if raw.endswith(suffix):
             raw, mult = raw[: -len(suffix)], m

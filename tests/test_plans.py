@@ -157,14 +157,16 @@ def test_no_undeclared_corpus_broadcast_hints(spark):
     an ``F.broadcast`` hint bypasses autoBroadcastJoinThreshold, so a hint
     whose subtree scans a corpus-proportional table is a deferred OOM at
     100 TB. Every such hint must be declared in
-    ``tools.plan_audit.DECLARED_BOUNDED_HINTS`` with its pinned count —
-    a new (or gained) one fails here instead of in next round's sf8 probe.
-    Also pins the declarations against rot: a declared query whose
-    corpus-scanning hints vanished must leave the allowlist."""
+    ``tools.plan_audit.DECLARED_BOUNDED_HINTS`` with its pinned per-hint
+    scanned-table SIGNATURE — a new (or gained, or signature-swapped) one
+    fails here instead of in next round's sf8 probe. The declarations are
+    pinned against rot in BOTH directions: observed must equal declared
+    as a multiset, so a query that silently LOSES a declared hint (even
+    one of several) must update its declaration too."""
     from tools.plan_audit import (DECLARED_BOUNDED_HINTS,
                                   broadcast_hint_corpus_scans,
+                                  missing_declared_hints,
                                   undeclared_hint_excess)
-    seen_bounded = set()
     for name, fn in QUERIES.items():
         hits = broadcast_hint_corpus_scans(fn(spark, SF))
         declared = DECLARED_BOUNDED_HINTS.get(name, ([],))[0]
@@ -175,10 +177,11 @@ def test_no_undeclared_corpus_broadcast_hints(spark):
             "size-checked threshold path pick the join) or, if the "
             "subtree is genuinely corpus-independent, declare its exact "
             "scanned-table signature")
-        if hits:
-            seen_bounded.add(name)
-    stale = set(DECLARED_BOUNDED_HINTS) - seen_bounded
-    assert not stale, f"stale hint declarations (no hint in plan): {stale}"
+        missing = missing_declared_hints(hits, declared)
+        assert not missing, (
+            f"{name}: declared hint signature(s) {missing} no longer in "
+            f"the plan (observed {hits}) — update DECLARED_BOUNDED_HINTS "
+            "so the allowlist matches what actually runs")
 
 
 def test_rehinted_corpus_join_flags(spark):
@@ -217,8 +220,14 @@ def test_hint_signature_swap_flags():
     # one more hint of a declared signature still flags
     assert undeclared_hint_excess(
         [["events"], ["events"]], [["events"]]) == [["events"]]
-    # fewer hints than declared is fine (stale-ness is reported separately)
+    # fewer hints than declared passes the EXCESS check by design; the
+    # loss direction is a separate function, enforced per-query above
     assert undeclared_hint_excess([["events"]], [["events"], ["events"]]) == []
+    from tools.plan_audit import missing_declared_hints
+    assert missing_declared_hints(
+        [["events"]], [["events"], ["events"]]) == [["events"]]
+    assert missing_declared_hints([], [["documents"]]) == [["documents"]]
+    assert missing_declared_hints([["events"]], [["events"]]) == []
     # multi-table signatures compare as a unit, order-normalized upstream
     assert undeclared_hint_excess(
         [["<leaf:LogicalRDD>", "embeddings"]],

@@ -151,7 +151,7 @@ def test_relationships_forced_broadcast_still_available(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-def test_relationships_default_is_size_checked(spark):
+def test_relationships_default_is_size_checked(spark, sf_dir):
     """VERDICT r9 #3: the DEFAULT may no longer hint unconditionally —
     ``F.broadcast`` bypasses the size check, so the old default deferred
     an OOM to whenever a caller checked fact↔fact RI at scale. With the
@@ -163,9 +163,8 @@ def test_relationships_default_is_size_checked(spark):
     from redshift_to_lakehouse_migration_spark.tables import load
     from tools.plan_audit import broadcast_hint_corpus_scans
 
-    SF = "/root/testdata/sf0.001"
-    orders = load(spark, SF, "orders")
-    lineitem = load(spark, SF, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
 
     _saved_abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

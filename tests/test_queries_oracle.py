@@ -7,7 +7,6 @@ Runs at sf0.001 for speed; the driver re-runs the same contract at sf0.01.
 
 from __future__ import annotations
 
-import hashlib
 import math
 from datetime import date, datetime
 from decimal import Decimal
@@ -40,13 +39,6 @@ def _norm(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
-
-
-def _hash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return hashlib.md5("\n".join(sorted(
-        "\x1f".join(_norm(r[i]) for i in order) for r in rows
-    )).encode()).hexdigest()
 
 
 def _normalized_lines(rows, cols):

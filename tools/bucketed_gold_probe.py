@@ -154,8 +154,9 @@ def main() -> None:
         out["bucketed_joins"] = (f"BHJ={plan.count('BroadcastHashJoin')} "
                                  f"SMJ={plan.count('SortMergeJoin')}")
 
-        med = sorted(out["plain_rebuild_s"])[n_rebuilds // 2]
-        medb = sorted(out["bucketed_rebuild_s"])[n_rebuilds // 2]
+        from statistics import median
+        med = median(out["plain_rebuild_s"])
+        medb = median(out["bucketed_rebuild_s"])
         out["plain_median_s"], out["bucketed_median_s"] = med, medb
         out["rebuild_speedup"] = round(med / medb, 2) if medb else None
         # rebuild count at which the one-time bucket write has paid for

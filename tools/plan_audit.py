@@ -125,6 +125,24 @@ def undeclared_hint_excess(observed: list, declared: list) -> list:
     return excess
 
 
+def missing_declared_hints(observed: list, declared: list) -> list:
+    """Declared hint signatures with NO matching observed hint — the rot
+    direction ``undeclared_hint_excess`` cannot see: a declared query that
+    silently LOSES hints (a refactor drops the bounded broadcast, the
+    declaration stays) must update its declaration, or the allowlist
+    decays into a blanket waiver for hints that no longer exist."""
+    from collections import Counter
+    seen = Counter(tuple(o) for o in observed)
+    missing = []
+    for d in declared:
+        key = tuple(d)
+        if seen[key] > 0:
+            seen[key] -= 1
+        else:
+            missing.append(d)
+    return missing
+
+
 def _tables_under(node, acc: set) -> None:
     """Collect base-table names scanned anywhere under ``node`` (analyzed
     logical plan). Parquet relations map to their file stem; any leaf
@@ -283,7 +301,16 @@ def main() -> None:
     stale = sorted(set(DECLARED_BNLJ) - set(bounded))
     bad_hints = [r["name"] for r in rows if r["hints"] == "YES"]
     bounded_hints = [r["name"] for r in rows if r["hints"] == "bounded"]
-    stale_hints = sorted(set(DECLARED_BOUNDED_HINTS) - set(bounded_hints))
+    # stale = declared signatures the plan no longer carries, PER ENTRY —
+    # partial loss counts (a bare set difference on names would let a
+    # query quietly drop 5 of its 6 declared hints)
+    observed_by_name = {r["name"]: r["hint_tables"] for r in rows}
+    stale_hints = sorted(
+        (name, missing)
+        for name, (sig, _) in DECLARED_BOUNDED_HINTS.items()
+        for missing in [missing_declared_hints(
+            observed_by_name.get(name, []), sig)]
+        if missing)
     lines += ["", f"Undeclared Cartesian/nested-loop joins found: "
                   f"{bad if bad else 'none'}."]
     if bounded:
@@ -307,8 +334,9 @@ def main() -> None:
                   f"{DECLARED_BOUNDED_HINTS[n][0]}: "
                   f"{DECLARED_BOUNDED_HINTS[n][1]}" for n in bounded_hints]
     if stale_hints:
-        lines += ["", "STALE hint declarations (no corpus-scanning hint "
-                      f"in plan): {stale_hints}."]
+        lines += ["", "STALE hint declarations (declared signatures the "
+                      "plan no longer carries — partial loss included): "
+                      f"{stale_hints}."]
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote PLANS.md ({len(rows)} queries); undeclared: {bad}; "
