@@ -146,17 +146,31 @@ ORACLES = {
         GROUP BY 1, 2, 3
     """,
     "events_sessionized": f"""
+        -- ORDER BY ts, event_id (total order), NOT ORDER BY ts: is_new is
+        -- assigned in one window pass and cumulatively summed in ANOTHER,
+        -- and with tied ts the two passes need not agree on row order —
+        -- DuckDB's parallel window execution then attaches a tied row's
+        -- is_new to a DIFFERENT neighbor than the one lag() diffed
+        -- against, splitting sessions at the wrong row. Measured: the
+        -- ts-only form returned 2 distinct result sets in 60 runs on the
+        -- seed-20260817 hostile DB (r10; this was r9's only red gate —
+        -- the engine side was correct both times). The tiebreaker column
+        -- does not change session SEMANTICS (tied rows always share a
+        -- session: their gap is 0), it only pins both passes to one order.
         WITH flagged AS (
             SELECT *,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
                              >= INTERVAL {SESSION_GAP_MIN} MINUTE
-                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        OR lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
                              IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WHERE ts IS NOT NULL  -- session_window drops NULL event-time
         ), numbered AS (
-            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )

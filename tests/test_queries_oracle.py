@@ -269,3 +269,47 @@ def test_oracle_dtype_width_parity(name, spark, oracle_con):
             assert not st.startswith("array"), (
                 f"{name}.{col}: array column reaches the driver "
                 f"canonicalizer — emit a delimited string instead")
+
+
+def test_oracle_window_orderings_are_tie_safe():
+    """r10 root cause of the r9 full-suite flake: an oracle windowing over
+    a NON-total ORDER BY (events_sessionized's `ORDER BY ts`) computed
+    is_new in one window pass and cumulatively summed it in another, and
+    DuckDB's parallel window execution need not give both passes the same
+    TIE order — measured: 2 distinct result sets in 60 runs of the
+    identical SQL on the seed-20260817 hostile DB (the Spark side was
+    correct both times; see queries/events.py oracle comment). Static
+    tripwire: every ROWS-framed / plain OVER ordering in every oracle
+    must include a unique-key column so the ordering is total; RANGE
+    frames and partition-only windows are tie-insensitive and exempt."""
+    import re
+
+    from redshift_to_lakehouse_migration_spark.queries import ORACLES
+
+    UNIQUE_KEYS = {"event_id", "o_orderkey", "doc_id", "vec_id",
+                   "neighbor_id", "centroid_id", "query_id", "claim_id",
+                   "premium_id", "policy_id", "c_custkey", "date_key"}
+
+    def over_clauses(sql):
+        out = []
+        for m in re.finditer(r"(?:OVER|WINDOW\s+\w+\s+AS)\s*\(", sql, re.I):
+            i, depth = m.end(), 1
+            while depth and i < len(sql):
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            out.append(sql[m.end():i - 1])
+        return out
+
+    flagged = []
+    for name, sql in ORACLES.items():
+        for cl in over_clauses(sql):
+            ob = re.search(r"ORDER\s+BY(.*?)(?:ROWS|RANGE|$)",
+                           cl, re.I | re.S)
+            if not ob or re.search(r"RANGE", cl, re.I):
+                continue
+            if not any(k in ob.group(1) for k in UNIQUE_KEYS):
+                flagged.append((name, " ".join(cl.split())[:90]))
+    assert not flagged, (
+        "oracle window ordering without a unique-key tiebreaker — with "
+        "tied sort keys DuckDB may give two window passes DIFFERENT row "
+        f"orders and the oracle itself becomes nondeterministic: {flagged}")
