@@ -89,61 +89,62 @@ for _m in _MODULES:
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- r10 rotation (tools/staleness.py --suggest on the frozen
-    #    r10 source): ZERO stale queries — round 10 touched no
-    #    query fn or oracle span — so the whole sample is the
+    #    r10 source): ONE stale query leads — events_sessionized,
+    #    whose ORACLE was fixed this round (total window order;
+    #    the engine side is unchanged) — followed by the
     #    least-recently-sampled tier (newest green round ASC,
     #    cheapest-first within it), rotating driver coverage onto
-    #    the 50 entries the r9 sample left longest unproven --
+    #    the entries the r9 sample left longest unproven --
+    "events_sessionized",
     "stg_customer",
-    "stg_orders",
-    "sample_stratified",
-    "doc_fingerprint",
     "frame_sample_plan",
-    "sample_per_stratum",
+    "doc_fingerprint",
+    "sample_stratified",
     "token_count_bpe",
-    "events_rolling_hour_range",
+    "binary_metadata",
+    "sample_per_stratum",
+    "stg_orders",
     "dq_documents",
     "text_stats",
-    "events_json_typed",
+    "lang_id",
+    "pack_sequences",
+    "events_retention_cohorts",
+    "token_histogram",
+    "embedding_stats",
     "events_error_after_click",
     "events_daily_unique_users_hll",
-    "pack_sequences",
+    "mix_datasets",
+    "events_daily_anomalies",
+    "events_json_typed",
+    "events_asof_purchase",
+    "media_decode_stub",
+    "dedup_exact",
+    "events_rolling_hour_range",
+    "events_conversion_funnel",
+    "events_daily_from_hourly",
     "event_path_trigrams",
     "customer_order_gaps",
-    "events_retention_cohorts",
-    "events_daily_from_hourly",
-    "dedup_exact",
-    "events_daily_anomalies",
-    "lang_id",
-    "events_asof_purchase",
-    "mix_datasets",
-    "embedding_stats",
-    "token_histogram",
     "doc_repetition_filter",
-    "events_conversion_funnel",
     "q5_region_supplier_volume",
-    "masked_dim_customer_view",
-    "agg_pricing_summary",
-    "corpus_prep",
-    "knn_ivf",
-    "knn_lsh_bucketed",
     "dedup_embedding_cosine",
     "ann_lsh_buckets",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "binary_metadata",
-    "contamination_check",
+    "masked_dim_customer_view",
+    "knn_ivf",
     "dedup_simhash",
-    "knn_pq_adc",
+    "knn_lsh_bucketed",
+    "contamination_check",
+    "agg_pricing_summary",
+    "dedup_ngram_jaccard",
+    "corpus_prep",
+    "dedup_simhash_pairs",
     "dedup_minhash_lsh",
-    "knn_ivfpq",
-    "media_decode_stub",
     "kmeans_clusters",
-    "knn_ivfpq_refined",
+    "knn_pq_adc",
+    "knn_ivfpq",
     "dedup_clusters",
+    "knn_ivfpq_refined",
     "corpus_funnel",
     "dim_date",
-    "dq_accepted_values",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
