@@ -242,7 +242,13 @@ def _session_broadcast_cap(df: DataFrame) -> int:
     try:
         return int(raw) * mult
     except ValueError:
-        return 10 * 1024 * 1024  # Spark's own default
+        # Fail loudly (ADVICE r10): the conf always carries a value here,
+        # so a parse miss means a format this parser doesn't know — and
+        # silently substituting Spark's global 10MB would shrink a session
+        # whose builder set a larger budget (this repo's get_spark: 64MB).
+        raise ValueError(
+            "unparsable spark.sql.autoBroadcastJoinThreshold value "
+            f"{raw!r}; extend _session_broadcast_cap's suffix table")
 
 
 def _estimated_plan_bytes(df: DataFrame) -> int | None:

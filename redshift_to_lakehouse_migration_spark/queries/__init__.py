@@ -150,6 +150,13 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
 if _missing:
     raise ValueError(f"DRIVER_SAMPLE_PRIORITY names unknown: {_missing}")
+# Uniqueness (ADVICE r10): a duplicated entry would pass the membership
+# and len==50 checks while the dict-merge below silently dedups, shrinking
+# the actually-sampled surface under 50.
+if len(set(DRIVER_SAMPLE_PRIORITY)) != len(DRIVER_SAMPLE_PRIORITY):
+    _dups = sorted({n for n in DRIVER_SAMPLE_PRIORITY
+                    if DRIVER_SAMPLE_PRIORITY.count(n) > 1})
+    raise ValueError(f"DRIVER_SAMPLE_PRIORITY has duplicates: {_dups}")
 # The driver samples the FIRST 50 entries; the rotation is engineered to
 # fill exactly those slots. A silent off-by-one would swap which query
 # occupies slot 50, so pin the count.

@@ -70,6 +70,12 @@ def _conf_snapshot():
 
 @pytest.fixture(autouse=True)
 def _session_conf_guard(request):
+    # NOTE (ADVICE r10): asserting in fixture TEARDOWN means pytest reports
+    # pollution as a teardown ERROR while the polluting test itself still
+    # shows PASSED — and a test that both fails and pollutes produces two
+    # reports. Accepted trade-off for a self-policing tripwire: the ERROR
+    # names the polluter in its message; read the assertion text, not the
+    # PASSED column, when attributing.
     before = _conf_snapshot()
     yield
     after = _conf_snapshot()

@@ -185,6 +185,33 @@ def test_relationships_default_is_size_checked(spark, sf_dir):
     assert broadcast_hint_corpus_scans(orphans) == [["orders"]]
 
 
+def test_broadcast_cap_parser_raises_on_unknown_format():
+    """ADVICE r10: an unparsable threshold must fail LOUDLY, not silently
+    substitute Spark's global 10MB — the session builder sets 64MB here,
+    so the silent fallback would shrink the broadcast budget by 6.4x.
+    Known formats still parse (bare bytes, k/m/g[b] suffixes, -1). Fed
+    through a stub session because Spark's own conf.set validates values,
+    so the raise path is only reachable via a format Spark knows and this
+    parser doesn't — exactly the gap the raise is meant to expose."""
+    import pytest as _pytest
+
+    class _Stub:
+        def __init__(self, v):
+            self.sparkSession = self
+            self.conf = self
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v
+
+    for raw, want in (("-1", -1), ("10485760", 10485760),
+                      ("64MB", 64 << 20), ("64m", 64 << 20),
+                      ("1g", 1 << 30), ("512kb", 512 << 10)):
+        assert q._session_broadcast_cap(_Stub(raw)) == want, raw
+    with _pytest.raises(ValueError, match="unparsable"):
+        q._session_broadcast_cap(_Stub("64MiB"))
+
+
 def test_relationships_shuffled_fallback_for_big_refs(spark):
     """broadcast_ref=False keeps the shuffled anti-join — the graceful
     path when the reference is NOT dimension-sized (ADVICE r5: a forced

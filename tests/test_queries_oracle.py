@@ -271,45 +271,125 @@ def test_oracle_dtype_width_parity(name, spark, oracle_con):
                 f"canonicalizer — emit a delimited string instead")
 
 
-def test_oracle_window_orderings_are_tie_safe():
-    """r10 root cause of the r9 full-suite flake: an oracle windowing over
-    a NON-total ORDER BY (events_sessionized's `ORDER BY ts`) computed
-    is_new in one window pass and cumulatively summed it in another, and
-    DuckDB's parallel window execution need not give both passes the same
-    TIE order — measured: 2 distinct result sets in 60 runs of the
-    identical SQL on the seed-20260817 hostile DB (the Spark side was
-    correct both times; see queries/events.py oracle comment). Static
-    tripwire: every ROWS-framed / plain OVER ordering in every oracle
-    must include a unique-key column so the ordering is total; RANGE
-    frames and partition-only windows are tie-insensitive and exempt."""
+# r10 root cause of the r9 full-suite flake: an oracle windowing over a
+# NON-total ORDER BY (events_sessionized's `ORDER BY ts`) computed is_new
+# in one window pass and cumulatively summed it in another, and DuckDB's
+# parallel window execution need not give both passes the same TIE order
+# — measured: 2 distinct result sets in 60 runs of the identical SQL on
+# the seed-20260817 hostile DB (the Spark side was correct both times;
+# see queries/events.py oracle comment). Static tripwire below: every
+# tie-SENSITIVE ordering in every oracle must include a unique-key column
+# so the ordering is total. Covered orderings (r11, VERDICT r10 #2):
+#   1. OVER (...) / WINDOW ... AS (...) clauses — ROWS-framed or plain;
+#      RANGE frames and partition-only windows are tie-insensitive and
+#      exempt (word-boundary \bRANGE\b so a column named ts_range does
+#      NOT exempt its window — ADVICE r10);
+#   2. in-AGGREGATE ORDER BY — list/array_agg/string_agg/group_concat/
+#      first/last/arg_min/arg_max(... ORDER BY ...) are the same
+#      nondeterminism class: a parallel aggregate may feed tied rows in
+#      either order, so the concatenated/picked value flips.
+# Unique-key matches are word-bounded too (event_id_bucket does not
+# satisfy an event_id tiebreaker).
+_TIE_UNIQUE_KEYS = ("event_id", "o_orderkey", "doc_id", "vec_id",
+                    "neighbor_id", "centroid_id", "query_id", "claim_id",
+                    "premium_id", "policy_id", "c_custkey", "date_key")
+_TIE_AGG_FNS = ("list", "array_agg", "string_agg", "group_concat",
+                "listagg", "first", "last", "arg_min", "arg_max",
+                "min_by", "max_by")
+
+
+def _balanced_paren_bodies(sql, open_re):
+    """Bodies of every balanced ``(...)`` opened by a match of open_re
+    (a regex ending at the opening paren)."""
     import re
 
+    out = []
+    for m in re.finditer(open_re, sql, re.I):
+        i, depth = m.end(), 1
+        while depth and i < len(sql):
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+        out.append(sql[m.end():i - 1])
+    return out
+
+
+def _tie_unsafe_sites(sql):
+    """Tie-sensitive orderings in ``sql`` lacking a unique-key tiebreaker.
+    Returns a list of offending clause snippets (empty = tie-safe)."""
+    import re
+
+    def total(order_expr):
+        return any(re.search(r"\b" + re.escape(k) + r"\b", order_expr, re.I)
+                   for k in _TIE_UNIQUE_KEYS)
+
+    bad = []
+    # 1. window clauses
+    for cl in _balanced_paren_bodies(sql, r"(?:OVER|WINDOW\s+\w+\s+AS)\s*\("):
+        ob = re.search(r"ORDER\s+BY(.*?)(?:\bROWS\b|\bRANGE\b|$)",
+                       cl, re.I | re.S)
+        if not ob or re.search(r"\bRANGE\b", cl, re.I):
+            continue
+        if not total(ob.group(1)):
+            bad.append("OVER: " + " ".join(cl.split())[:90])
+    # 2. order-dependent aggregates. Nested ORDER BY belonging to an inner
+    # window (e.g. first(x) OVER (ORDER BY ...)) is handled by pass 1; an
+    # aggregate body containing OVER is skipped here to avoid double count.
+    agg_open = r"\b(?:" + "|".join(_TIE_AGG_FNS) + r")\s*\("
+    for body in _balanced_paren_bodies(sql, agg_open):
+        if re.search(r"\bOVER\b", body, re.I):
+            continue
+        ob = re.search(r"ORDER\s+BY(.*)$", body, re.I | re.S)
+        if ob and not total(ob.group(1)):
+            bad.append("AGG: " + " ".join(body.split())[:90])
+    return bad
+
+
+def test_oracle_orderings_are_tie_safe():
+    """Static lint over ALL registered oracles: no tie-sensitive ordering
+    (window OR in-aggregate) without a unique-key tiebreaker."""
     from redshift_to_lakehouse_migration_spark.queries import ORACLES
 
-    UNIQUE_KEYS = {"event_id", "o_orderkey", "doc_id", "vec_id",
-                   "neighbor_id", "centroid_id", "query_id", "claim_id",
-                   "premium_id", "policy_id", "c_custkey", "date_key"}
-
-    def over_clauses(sql):
-        out = []
-        for m in re.finditer(r"(?:OVER|WINDOW\s+\w+\s+AS)\s*\(", sql, re.I):
-            i, depth = m.end(), 1
-            while depth and i < len(sql):
-                depth += {"(": 1, ")": -1}.get(sql[i], 0)
-                i += 1
-            out.append(sql[m.end():i - 1])
-        return out
-
-    flagged = []
-    for name, sql in ORACLES.items():
-        for cl in over_clauses(sql):
-            ob = re.search(r"ORDER\s+BY(.*?)(?:ROWS|RANGE|$)",
-                           cl, re.I | re.S)
-            if not ob or re.search(r"RANGE", cl, re.I):
-                continue
-            if not any(k in ob.group(1) for k in UNIQUE_KEYS):
-                flagged.append((name, " ".join(cl.split())[:90]))
+    flagged = [(name, site) for name, sql in ORACLES.items()
+               for site in _tie_unsafe_sites(sql)]
     assert not flagged, (
-        "oracle window ordering without a unique-key tiebreaker — with "
-        "tied sort keys DuckDB may give two window passes DIFFERENT row "
-        f"orders and the oracle itself becomes nondeterministic: {flagged}")
+        "oracle ordering without a unique-key tiebreaker — with tied sort "
+        "keys DuckDB's parallel execution may feed rows in either order "
+        f"and the oracle itself becomes nondeterministic: {flagged}")
+
+
+def test_tie_safety_lint_detects_the_flake_classes():
+    """The lint itself must flag each known nondeterminism class and not
+    be fooled by the ADVICE r10 substring traps."""
+    # the literal r9 flake shape: two passes over a non-total ordering
+    assert _tie_unsafe_sites(
+        "SELECT SUM(is_new) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+        "FROM t")
+    # in-aggregate ordering without tiebreaker (VERDICT r10 #2 synthetic)
+    assert _tie_unsafe_sites("SELECT string_agg(x, ',' ORDER BY ts) FROM t")
+    assert _tie_unsafe_sites("SELECT list(x ORDER BY ts) FROM t")
+    # fixed forms pass
+    assert not _tie_unsafe_sites(
+        "SELECT string_agg(x, ',' ORDER BY ts, event_id) FROM t")
+    assert not _tie_unsafe_sites(
+        "SELECT lag(x) OVER (ORDER BY ts, event_id) FROM t")
+    # RANGE frames are tie-insensitive and exempt...
+    assert not _tie_unsafe_sites(
+        "SELECT SUM(x) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR "
+        "PRECEDING AND CURRENT ROW) FROM t")
+    # ...but a column merely NAMED ts_range must not exempt its window
+    # (ADVICE r10: substring RANGE trap)
+    assert _tie_unsafe_sites(
+        "SELECT lag(x) OVER (ORDER BY ts_range) FROM t")
+    # a non-unique column embedding a key name must not satisfy the
+    # tiebreaker (ADVICE r10: event_id_bucket trap)
+    assert _tie_unsafe_sites(
+        "SELECT lag(x) OVER (ORDER BY ts, event_id_bucket) FROM t")
+    # partition-only windows (no ORDER BY) are exempt
+    assert not _tie_unsafe_sites(
+        "SELECT SUM(x) OVER (PARTITION BY grp) FROM t")
+    # unordered aggregates are exempt; order-independent args don't flag
+    assert not _tie_unsafe_sites("SELECT list(x) FROM t")
+    # aggregate-named window call defers to the window pass (no double flag)
+    assert _tie_unsafe_sites(
+        "SELECT first(x) OVER (ORDER BY ts) FROM t") == [
+        "OVER: ORDER BY ts"]
