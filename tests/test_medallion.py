@@ -373,6 +373,53 @@ def test_fact_claims_bucketed_join_no_exchange(pipeline_outputs, spark):
         spark.sql("DROP TABLE IF EXISTS test_fcb_policies")
 
 
+def test_fact_claims_auto_chooser_is_size_checked(pipeline_outputs, spark):
+    """VERDICT r10 #5: the measured bucketed-gold economics (SCALE.md #3)
+    as an automatic size-checked policy. Below the broadcast budget the
+    chooser must take the PLAIN build (policies broadcasts; bucketing
+    would only add a table write); with the budget exhausted (threshold
+    -1, the synthetic stand-in for policies outgrowing it) it must take
+    the BUCKETED build — bucketed tables exist and the claims⋈policies
+    join runs with zero hash exchange on policy_id."""
+    from redshift_to_lakehouse_migration_spark.medallion.gold import (
+        build_fact_claims_auto)
+
+    outputs, _, _ = pipeline_outputs
+    claims = outputs["silver_claims"]
+    policies = outputs["silver_policies"]
+    properties = outputs["silver_properties"]
+
+    def tables(prefix):
+        return [t.name for t in spark.catalog.listTables()
+                if t.name.startswith(prefix)]
+
+    # healthy budget, dimension-sized policies: plain (BHJ, no tables)
+    fc = build_fact_claims_auto(spark, claims, policies, properties,
+                                n_buckets=4, table_prefix="test_auto_")
+    try:
+        plan = fc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert tables("test_auto_") == []
+
+        # budget exhausted: the bucketed path, exchange-free on policy_id
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            fcb = build_fact_claims_auto(
+                spark, claims, policies, properties,
+                n_buckets=4, table_prefix="test_auto_")
+            assert sorted(tables("test_auto_")) == [
+                "test_auto_claims", "test_auto_policies"]
+            bplan = fcb._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning(policy_id" not in bplan
+            assert "SortMergeJoin [policy_id" in bplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_auto_claims")
+        spark.sql("DROP TABLE IF EXISTS test_auto_policies")
+
+
 def test_gold_builders_hint_disciplined(pipeline_outputs, spark):
     """The registry-level hint invariant (tests/test_plans.py) cannot see
     the medallion gold builders, which the r8 verdict listed in the same
