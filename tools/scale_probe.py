@@ -35,6 +35,7 @@ SF10_DIR = "/root/repo/testdata_sf1.0"
 SF20_DIR = "/root/repo/testdata_sf2.0"
 SF40_DIR = "/root/repo/testdata_sf4.0"
 SF80_DIR = "/root/repo/testdata_sf8.0"
+SF160_DIR = "/root/repo/testdata_sf16.0"
 
 # No quadratic-work probes remain: r8 ran the REGISTERED knn_bruteforce/
 # knn_ivf, whose probe/centroid sets are corpus-proportional slices
@@ -138,7 +139,10 @@ def main() -> None:
         gen(4.0, SF40_DIR)
     if not complete(SF80_DIR, 8.0):
         gen(8.0, SF80_DIR)
-    sfs = (*SFS, SF5_DIR, SF10_DIR, SF20_DIR, SF40_DIR, SF80_DIR)
+    if not complete(SF160_DIR, 16.0):
+        gen(16.0, SF160_DIR)
+    sfs = (*SFS, SF5_DIR, SF10_DIR, SF20_DIR, SF40_DIR, SF80_DIR,
+           SF160_DIR)
 
     spark = get_spark("scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -168,21 +172,21 @@ def main() -> None:
         results[name] = times
 
     lines = [
-        "# SCALING — measured wall time across an 8000x data span",
+        "# SCALING — measured wall time across a 16000x data span",
         "",
         "Auto-generated by `tools/scale_probe.py` (local[32], noop sink,",
         "warm JVM, second run of each query timed). sf0.001-0.1 are the",
-        "driver tables; sf0.5/1.0/2.0/4.0/8.0 are generated by",
+        "driver tables; sf0.5/1.0/2.0/4.0/8.0/16.0 are generated by",
         "`tools/gen_scale_data.py` (schema- and distribution-matched,",
-        "5x-80x the driver's largest — 48M lineitem / 8M events /",
-        "400k docs at sf8.0). At the small sizes fixed per-job overhead",
+        "5x-160x the driver's largest — 96M lineitem / 16M events /",
+        "800k docs at sf16.0). At the small sizes fixed per-job overhead",
         "dominates, so healthy plans grow far SLOWER than data: the",
         "`x10 ratio` column (sf0.01 → sf0.1, 10x rows) should sit well",
         "below 10, the `x5` column (sf0.1 → sf0.5, 5x rows) well",
-        "below 5, and the four `x2` octaves (x2a sf0.5→1.0, x2b",
-        "sf1.0→2.0, x2c sf2.0→4.0, x2d sf4.0→8.0) — the spans where",
-        "fixed overhead matters least — at or below ~2 and NOT rising",
-        "octave-over-octave;",
+        "below 5, and the five `x2` octaves (x2a sf0.5→1.0, x2b",
+        "sf1.0→2.0, x2c sf2.0→4.0, x2d sf4.0→8.0, x2e sf8.0→16.0) — the",
+        "spans where fixed overhead matters least — at or below ~2 and",
+        "NOT rising octave-over-octave;",
         "a value far above the WORK ratio flags a superlinear plan (the",
         "closing line reports which, computed from the measured ratios).",
         "The ANN rows (`knn_bruteforce_fix64`, `knn_ivf_fix64`) probe the",
@@ -195,13 +199,16 @@ def main() -> None:
         "confirmed flags were that artifact).",
         "",
         "| query | sf0.001 | sf0.01 | sf0.1 | sf0.5 | sf1.0 | sf2.0 "
-        "| sf4.0 | sf8.0 | x10 | x5 | x2a | x2b | x2c | x2d |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| sf4.0 | sf8.0 | sf16.0 | x10 | x5 | x2a | x2b | x2c | x2d "
+        "| x2e |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---"
+        "|---|---|",
     ]
 
     # Endpoint directories for each x2 octave, used by flag confirmation.
     OCTAVES = {"x2a": (SF5_DIR, SF10_DIR), "x2b": (SF10_DIR, SF20_DIR),
-               "x2c": (SF20_DIR, SF40_DIR), "x2d": (SF40_DIR, SF80_DIR)}
+               "x2c": (SF20_DIR, SF40_DIR), "x2d": (SF40_DIR, SF80_DIR),
+               "x2e": (SF80_DIR, SF160_DIR)}
 
     def fmt(x: float, suffix: str = "") -> str:
         if x != x:  # NaN guard (no probe skips cells anymore)
@@ -210,25 +217,28 @@ def main() -> None:
 
     worst10 = worst5 = worst2 = 0.0
     candidates: list[tuple[str, str, float, float]] = []
-    for name, (a, b, c, d, e, f2, g, h) in results.items():
+    for name, (a, b, c, d, e, f2, g, h, h2) in results.items():
         r10 = c / b if b > 0 else float("nan")
         r5 = d / c if c > 0 else float("nan")
         r2a = e / d if d > 0 else float("nan")
         r2b = f2 / e if e > 0 else float("nan")
         r2c = g / f2 if f2 > 0 else float("nan")
         r2d = h / g if g > 0 else float("nan")
+        r2e = h2 / h if h > 0 else float("nan")
         worst10, worst5 = max(worst10, r10), max(worst5, r5)
-        worst2 = max(worst2, *(r for r in (r2a, r2b, r2c, r2d)
+        worst2 = max(worst2, *(r for r in (r2a, r2b, r2c, r2d, r2e)
                                if r == r))
         work2 = 4.0 if name in QUADRATIC_WORK else 2.0
         for label, r in (("x2a", r2a), ("x2b", r2b), ("x2c", r2c),
-                         ("x2d", r2d)):
+                         ("x2d", r2d), ("x2e", r2e)):
             if r == r and r > work2:
                 candidates.append((name, label, r, work2))
         lines.append(f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {d:.2f} "
                      f"| {e:.2f} | {f2:.2f} | {g:.2f} | {fmt(h)} "
+                     f"| {fmt(h2)} "
                      f"| {r10:.1f}x | {r5:.1f}x | {r2a:.1f}x "
-                     f"| {r2b:.1f}x | {r2c:.1f}x | {fmt(r2d, 'x')} |")
+                     f"| {r2b:.1f}x | {r2c:.1f}x | {fmt(r2d, 'x')} "
+                     f"| {fmt(r2e, 'x')} |")
 
     # Single-run points blip: the r7 artifact flagged q5 x2c at 5.0x from
     # one cold-cache sf4 run that a 3-rep re-measure showed as FASTER than
