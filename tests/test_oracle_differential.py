@@ -48,6 +48,11 @@ TEXT_QUERIES = [
     "pack_sequences",
     "contamination_check",
     "corpus_funnel",
+    # full simhash/minhash oracles since r11 (VERDICT r10 #6) — the md5
+    # pipeline runs over the same hostile alphabet here
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
 ]
 
 _ALPHABET = (
@@ -117,3 +122,75 @@ def test_text_query_matches_oracle_on_random_corpus(name, spark,
     assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
     assert_rows_match(s_rows, sdf.columns, d_rows, rel.columns,
                       context=f" [{name}]")
+
+
+# --- oversized-bucket star branch: planted mass-duplicate family ---------
+#
+# The hostile corpus above is 400 docs, so no LSH band bucket can exceed
+# DEFAULT_BUCKET_CAP (512) and the capped_band_candidates star branch —
+# the part of the r11 simhash/minhash oracles most likely to drift from
+# the engine — would go untested. This corpus plants ONE exact-duplicate
+# family of 600 docs (every band bucket it touches is oversized), a
+# 100-doc near-duplicate family (one appended token: small hamming
+# distance, likely sharing band buckets with the big family → MIXED
+# oversized buckets exercising the per-group star + group-rep star), and
+# 200 short random fillers, with ids interleaved so representatives (min
+# doc_id per bucket/group) don't trivially coincide.
+
+@pytest.fixture(scope="module")
+def mass_dup_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("mass_dup_docs")
+    rng = random.Random(7)
+    big = ("the quick brown fox jumps over the lazy dog "
+           "pack my box with five dozen liquor jugs ") * 2
+    near = big + "extra"
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(900):
+        if i % 3 != 2:
+            text = big                            # 600 exact copies
+        elif i % 9 == 2:
+            text = near                           # 100 near-dups
+        else:
+            text = " ".join(rng.choice(words)
+                            for _ in range(rng.randrange(3, 30)))
+        rows.append((i, text, "en", "web", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).coalesce(2).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def mass_dup_oracle_con(mass_dup_sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{mass_dup_sf_dir}/documents.parquet/*.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", ["dedup_simhash_pairs",
+                                  "dedup_minhash_lsh"])
+def test_capped_star_branch_matches_oracle(name, spark, mass_dup_sf_dir,
+                                           mass_dup_oracle_con):
+    sdf = QUERIES[name](spark, mass_dup_sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = mass_dup_oracle_con.sql(ORACLES[name])
+    d_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
+    assert_rows_match(s_rows, sdf.columns, d_rows, rel.columns,
+                      context=f" [{name}]")
+
+    # Prove the CAP branch actually ran (in both engines, since they
+    # match): the 600-doc exact family sits in oversized buckets in every
+    # band, so it must contribute exactly its star — 599 pairs — rather
+    # than the 600·599/2 = 179,700 an uncapped all-pairs join would emit.
+    fam = {i for i in range(900) if i % 3 != 2}
+    cols = list(sdf.columns)
+    i1, i2 = cols.index("doc_id_1"), cols.index("doc_id_2")
+    fam_pairs = [r for r in s_rows if r[i1] in fam and r[i2] in fam]
+    assert len(fam_pairs) == len(fam) - 1, len(fam_pairs)
+    rep = min(fam)
+    assert all(r[i1] == rep for r in fam_pairs)
