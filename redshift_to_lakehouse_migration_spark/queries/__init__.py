@@ -88,63 +88,64 @@ for _m in _MODULES:
 # cheapest-first within each tier (r7 sf0.1 bench medians) so an early
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- r10 rotation (tools/staleness.py --suggest on the frozen
-    #    r10 source): ONE stale query leads — events_sessionized,
-    #    whose ORACLE was fixed this round (total window order;
-    #    the engine side is unchanged) — followed by the
-    #    least-recently-sampled tier (newest green round ASC,
-    #    cheapest-first within it), rotating driver coverage onto
-    #    the entries the r9 sample left longest unproven --
-    "events_sessionized",
-    "stg_customer",
-    "frame_sample_plan",
-    "doc_fingerprint",
-    "sample_stratified",
-    "token_count_bpe",
-    "binary_metadata",
-    "sample_per_stratum",
-    "stg_orders",
-    "dq_documents",
-    "text_stats",
-    "lang_id",
-    "pack_sequences",
-    "events_retention_cohorts",
-    "token_histogram",
-    "embedding_stats",
-    "events_error_after_click",
-    "events_daily_unique_users_hll",
-    "mix_datasets",
-    "events_daily_anomalies",
-    "events_json_typed",
-    "events_asof_purchase",
-    "media_decode_stub",
-    "dedup_exact",
-    "events_rolling_hour_range",
-    "events_conversion_funnel",
-    "events_daily_from_hourly",
-    "event_path_trigrams",
-    "customer_order_gaps",
-    "doc_repetition_filter",
-    "q5_region_supplier_volume",
-    "dedup_embedding_cosine",
-    "ann_lsh_buckets",
-    "masked_dim_customer_view",
-    "knn_ivf",
+    # -- r11 rotation (tools/staleness.py --suggest on the frozen r11
+    #    source): the three stale entries lead — dedup_simhash,
+    #    dedup_simhash_pairs, dedup_minhash_lsh, whose ORACLES were
+    #    upgraded this round from rows-only to full DuckDB replays
+    #    (engine side unchanged) — followed by the least-recently-
+    #    sampled tier (newest green round ASC, cheapest-first within
+    #    it): the relational/windows/audit core the r10 sample rotated
+    #    out returns to driver coverage --
     "dedup_simhash",
-    "knn_lsh_bucketed",
-    "contamination_check",
-    "agg_pricing_summary",
-    "dedup_ngram_jaccard",
-    "corpus_prep",
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",
-    "kmeans_clusters",
-    "knn_pq_adc",
-    "knn_ivfpq",
-    "dedup_clusters",
-    "knn_ivfpq_refined",
-    "corpus_funnel",
-    "dim_date",
+    "dq_accepted_values",
+    "order_status_histogram",
+    "masked_customers",
+    "dim_priority",
+    "order_price_histogram",
+    "dim_part",
+    "order_version_history",
+    "dq_orphan_lineitems",
+    "user_daily_activity",
+    "fact_orders",
+    "customers_without_orders",
+    "latest_order_per_customer",
+    "segment_priority_pivot_dynamic",
+    "pack_sequences_rows",
+    "events_sliding_windows",
+    "supplier_region_summary",
+    "stg_lineitem",
+    "customer_running_revenue",
+    "segment_status_pivot",
+    "events_hourly_by_type",
+    "events_salted_type_totals",
+    "returned_or_open_orders",
+    "orders_above_customer_average",
+    "dq_duplicate_keys",
+    "order_value_distribution",
+    "order_rank_in_segment",
+    "nation_market_share",
+    "events_json_props",
+    "knn_bruteforce",
+    "q3_shipping_priority",
+    "revenue_rollup",
+    "sql_api_pricing_summary",
+    "q10_returned_items",
+    "status_priority_cube",
+    "audit_principal_last7d",
+    "audit_object_access",
+    "audit_anomalous_access",
+    "dim_customer",
+    "fact_lineitem",
+    "fuzzy_customer_pairs",
+    "market_basket_pairs",
+    "price_percentiles_approx",
+    "recon_metrics_unpivot",
+    "recon_global_aggregates",
+    "top_customers_by_revenue",
+    "premium_payment_summary",
+    "part_brand_revenue",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
