@@ -28,6 +28,11 @@ from ..tables import load
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the classic pricing-summary shape (groupBy two flags, 8 measures)
     — the engine twin of `int_premium_summary.sql:9-23` at lineitem grain."""
+    # filter + pruned projection BEFORE the spread so pushdown reaches the
+    # scan; spread parallelizes the decimal partial aggregates off the
+    # single-row-group local file (guide §2.5; measured at sf0.1:
+    # 1.43 s → 1.09 s median). No-op at cluster scale.
+    from ..tables import spread
     li = load(spark, sf_dir, "lineitem")
     # exact decimal products: the raw doubles carry 2-decimal values, so
     # cast-then-multiply is exact in BOTH engines; a double product
@@ -36,7 +41,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
     charged = disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        spread(li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+               .select("l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_tax"), spark)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -141,8 +148,16 @@ def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def recon_global_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5/A6 reconciliation scalars: one row of SUM/AVG/MIN/MAX/COUNT/
-    COUNT DISTINCT per measure (`migration_validation/reconciliation.py:58-92`)."""
-    li = load(spark, sf_dir, "lineitem")
+    COUNT DISTINCT per measure (`migration_validation/reconciliation.py:58-92`).
+
+    The pruned projection is spread across cores before the aggregate: the
+    local single-row-group parquet file scans as ONE split, serializing the
+    whole partial-aggregate pass onto one core (guide §2.5 input-skew case;
+    measured at sf0.1: 1.60 s → 1.18 s median). No-op at cluster scale."""
+    from ..tables import spread
+    li = spread(load(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_extendedprice", "l_quantity",
+                        "l_discount", "l_shipdate"), spark)
     return li.agg(
         F.count("*").alias("row_count"),
         F.countDistinct("l_orderkey").alias("distinct_orders"),
@@ -543,13 +558,25 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(load(spark, sf_dir, "lineitem")
                 .select("l_returnflag", "l_quantity", "l_extendedprice"),
                 spark)
+    # ONE percentile buffer for the three l_extendedprice quantiles (array
+    # percentages) instead of three: `percentile` is holistic — each
+    # aggregate expression keeps its own value->count map and sorts it
+    # independently, so the 3-way split paid the 583k-distinct price
+    # buffer three times. Same Percentile codepath, same interpolation
+    # per requested percentage → bit-identical doubles (measured at
+    # sf0.1: 2.17 s → 1.76 s median, values identical; guide §1.2 step 2).
+    price_pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75), F.lit(0.95)))
     return (
         li.groupBy(F.col("l_returnflag").alias("return_flag"))
         .agg(F.percentile("l_quantity", 0.5).alias("median_qty"),
-             F.percentile("l_extendedprice", 0.25).alias("price_q1"),
-             F.percentile("l_extendedprice", 0.75).alias("price_q3"),
-             F.percentile("l_extendedprice", 0.95).alias("price_p95"),
+             price_pcts.alias("__price_pcts"),
              F.count("*").alias("n_lines"))
+        .select("return_flag", "median_qty",
+                F.col("__price_pcts")[0].alias("price_q1"),
+                F.col("__price_pcts")[1].alias("price_q3"),
+                F.col("__price_pcts")[2].alias("price_p95"),
+                "n_lines")
         .orderBy("return_flag")
     )
 
@@ -570,17 +597,23 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     check: sketch outputs are engine-specific, so no DuckDB oracle."""
     li = load(spark, sf_dir, "lineitem")
     acc = F.lit(10000)
+    # one sketch for the three price quantiles (array percentages) — same
+    # consolidation as the exact twin: identical sketch contents, identical
+    # per-percentage interpolation, one buffer instead of three
+    price_pcts = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75), F.lit(0.95)),
+        acc)
     return (
         li.groupBy(F.col("l_returnflag").alias("return_flag"))
         .agg(F.approx_percentile("l_quantity", F.lit(0.5), acc)
              .alias("median_qty"),
-             F.approx_percentile("l_extendedprice", F.lit(0.25), acc)
-             .alias("price_q1"),
-             F.approx_percentile("l_extendedprice", F.lit(0.75), acc)
-             .alias("price_q3"),
-             F.approx_percentile("l_extendedprice", F.lit(0.95), acc)
-             .alias("price_p95"),
+             price_pcts.alias("__price_pcts"),
              F.count("*").alias("n_lines"))
+        .select("return_flag", "median_qty",
+                F.col("__price_pcts")[0].alias("price_q1"),
+                F.col("__price_pcts")[1].alias("price_q3"),
+                F.col("__price_pcts")[2].alias("price_p95"),
+                "n_lines")
         .orderBy("return_flag")
     )
 
