@@ -515,12 +515,19 @@ def simhash_signatures(docs: DataFrame, id_col: str,
             "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
                   .cast("long"))
     )
-    votes = toks.groupBy("doc_id").agg(*[
-        F.sum(F.expr(f"(CAST(shiftright(h, {i}) & 1 AS INT) * 2 - 1)"))
-        .alias(f"v{i}") for i in range(60)
-    ])
+    # votes carried as plain bit-sums + one count: vote_i = 2·sum(bit_i)−n,
+    # so "vote_i > 0" ⟺ "2·sum(bit_i) > n" — integer-identical signatures
+    # (asserted vs the ±1 formulation, r11) with 60 fewer multiply/subtract
+    # expressions per token OCCURRENCE in the aggregate update path, the
+    # row-count-proportional part of the whole SimHash pass (guide §1.2
+    # step 2).
+    votes = toks.groupBy("doc_id").agg(
+        *[F.sum(F.expr(f"CAST(shiftright(h, {i}) & 1 AS INT)"))
+          .alias(f"b{i}") for i in range(60)],
+        F.count(F.lit(1)).alias("__n"))
     sig = F.expr(" + ".join(
-        f"IF(v{i} > 0, shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
+        f"IF(2 * b{i} > __n, shiftleft(CAST(1 AS BIGINT), {i}), "
+        "CAST(0 AS BIGINT))"
         for i in range(60)))
     return (
         votes.select("doc_id", sig.alias("simhash"))
