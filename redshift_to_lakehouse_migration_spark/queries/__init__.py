@@ -88,64 +88,65 @@ for _m in _MODULES:
 # cheapest-first within each tier (r7 sf0.1 bench medians) so an early
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- r11 rotation (tools/staleness.py --suggest on the frozen r11
-    #    source): the three stale entries lead — dedup_simhash,
-    #    dedup_simhash_pairs, dedup_minhash_lsh, whose ORACLES were
-    #    upgraded this round from rows-only to full DuckDB replays
-    #    (engine side unchanged) — followed by the least-recently-
-    #    sampled tier (newest green round ASC, cheapest-first within
-    #    it): the relational/windows/audit core the r10 sample rotated
-    #    out returns to driver coverage --
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_minhash_lsh",
-    "dq_accepted_values",
-    "order_status_histogram",
-    "masked_customers",
-    "dim_priority",
-    "order_price_histogram",
-    "dim_part",
-    "order_version_history",
-    "dq_orphan_lineitems",
-    "user_daily_activity",
-    "fact_orders",
-    "customers_without_orders",
-    "latest_order_per_customer",
-    "segment_priority_pivot_dynamic",
-    "pack_sequences_rows",
-    "events_sliding_windows",
-    "supplier_region_summary",
-    "stg_lineitem",
-    "customer_running_revenue",
-    "segment_status_pivot",
-    "events_hourly_by_type",
-    "events_salted_type_totals",
-    "returned_or_open_orders",
-    "orders_above_customer_average",
-    "dq_duplicate_keys",
-    "order_value_distribution",
-    "order_rank_in_segment",
-    "nation_market_share",
-    "events_json_props",
+    # -- r11 mid-round rotation (tools/staleness.py --suggest on the
+    #    optimization-round tree): the 18 entries whose engine paths or
+    #    oracles changed this round lead (prenormed cosine family, the
+    #    percentile buffer consolidation, the jaccard/minhash checkpoint
+    #    and components probe merge, the simhash bit-sum votes, the
+    #    spread additions, and the three oracle upgrades), ordered
+    #    cheapest-first within the stale tier; the remaining 32 slots are
+    #    the least-recently-sampled fresh queries (newest green round
+    #    ASC) --
     "knn_bruteforce",
-    "q3_shipping_priority",
-    "revenue_rollup",
-    "sql_api_pricing_summary",
-    "q10_returned_items",
-    "status_priority_cube",
-    "audit_principal_last7d",
-    "audit_object_access",
-    "audit_anomalous_access",
-    "dim_customer",
-    "fact_lineitem",
-    "fuzzy_customer_pairs",
-    "market_basket_pairs",
+    "dedup_embedding_cosine",
     "price_percentiles_approx",
+    "knn_ivf",
+    "knn_lsh_bucketed",
+    "dedup_simhash",
     "recon_metrics_unpivot",
     "recon_global_aggregates",
-    "top_customers_by_revenue",
-    "premium_payment_summary",
-    "part_brand_revenue",
+    "agg_pricing_summary",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "kmeans_clusters",
+    "knn_ivfpq",
+    "price_percentiles",
+    "dedup_clusters",
+    "knn_ivfpq_refined",
+    "corpus_funnel",
+    "dq_accepted_values",
+    "masked_customers",
+    "order_status_histogram",
+    "order_price_histogram",
+    "customers_without_orders",
+    "dim_priority",
+    "dq_orphan_lineitems",
+    "latest_order_per_customer",
+    "order_version_history",
+    "dim_part",
+    "supplier_region_summary",
+    "events_sliding_windows",
+    "user_daily_activity",
+    "fact_orders",
+    "events_salted_type_totals",
+    "stg_lineitem",
+    "customer_running_revenue",
+    "pack_sequences_rows",
+    "segment_priority_pivot_dynamic",
+    "segment_status_pivot",
+    "q10_returned_items",
+    "returned_or_open_orders",
+    "order_rank_in_segment",
+    "order_value_distribution",
+    "dq_duplicate_keys",
+    "sql_api_pricing_summary",
+    "events_json_props",
+    "revenue_rollup",
+    "orders_above_customer_average",
+    "events_hourly_by_type",
+    "status_priority_cube",
+    "nation_market_share",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
