@@ -89,14 +89,14 @@ for _m in _MODULES:
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- r11 mid-round rotation (tools/staleness.py --suggest on the
-    #    optimization-round tree): the 18 entries whose engine paths or
+    #    optimization-round tree): the 19 entries whose engine paths or
     #    oracles changed this round lead (prenormed cosine family, the
-    #    percentile buffer consolidation, the jaccard/minhash checkpoint
-    #    and components probe merge, the simhash bit-sum votes, the
-    #    spread additions, and the three oracle upgrades), ordered
-    #    cheapest-first within the stale tier; the remaining 32 slots are
-    #    the least-recently-sampled fresh queries (newest green round
-    #    ASC) --
+    #    percentile buffer consolidation, the jaccard/minhash/gram
+    #    checkpoints and components probe merge, the simhash bit-sum
+    #    votes, the spread additions, and the three oracle upgrades),
+    #    ordered cheapest-first within the stale tier; the remaining 31
+    #    slots are the least-recently-sampled fresh queries (newest green
+    #    round ASC) --
     "knn_bruteforce",
     "dedup_embedding_cosine",
     "price_percentiles_approx",
@@ -106,6 +106,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "recon_metrics_unpivot",
     "recon_global_aggregates",
     "agg_pricing_summary",
+    "contamination_check",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",
@@ -146,7 +147,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "orders_above_customer_average",
     "events_hourly_by_type",
     "status_priority_cube",
-    "nation_market_share",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]

@@ -84,7 +84,16 @@ def contamination_check(spark: SparkSession, sf_dir: str,
     stay ~30x smaller than the list and keep the join input to
     candidates only — measured 2.1x on a 2M-gram list vs 40M corpus
     gram rows in tools/bloom_crossover_probe.py."""
-    base = _gram_arrays(spark, sf_dir)
+    # The gram table is consumed THREE times (benchmark branch + hits
+    # explode + totals), so without the checkpoint the scan→normalize→
+    # split→sliding-window subtree runs ~2x over the full corpus per
+    # action (the benchmark branch prunes to 1/97th of docs first).
+    # Measured at sf0.1: 1.15 s → 1.04 s median; the saving is one full
+    # corpus gram-build pass, which grows with corpus bytes. Same
+    # non-replicated-blocks trade as the shingle checkpoints
+    # (llm/dedup.py): at cluster scale, a parquet-materialized gram
+    # table (materialize_minhash-style) is the replicated path.
+    base = _gram_arrays(spark, sf_dir).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_grams = (base.filter(is_bench)
                    .select(F.explode("grams").alias("gram")).distinct())

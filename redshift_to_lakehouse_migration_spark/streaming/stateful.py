@@ -72,8 +72,15 @@ def _update_user_stats(key: tuple, pdfs: Iterable[pd.DataFrame],
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running (count, total value, max inter-event gap) over a
     streaming DataFrame; emits the updated row for each user seen in the
-    micro-batch (`update` output mode)."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    micro-batch (`update` output mode).
+
+    Only the three columns the state function reads cross the state
+    shuffle and the Arrow boundary — `applyInPandasWithState` is opaque
+    to Catalyst, so without the explicit projection every input column
+    (including the `props` JSON payload) would be shuffled to the state
+    partitioning and serialized to Python per micro-batch."""
+    return events.select("user_id", "ts", "value") \
+        .groupBy("user_id").applyInPandasWithState(
         _update_user_stats,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

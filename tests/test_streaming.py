@@ -452,6 +452,30 @@ def test_stateful_stats_survive_arrow_chunking(spark, tmp_path):
     assert abs(got.max_gap_seconds - 60.0) < 1e-6   # uniform 1-min spacing
 
 
+def test_stateful_stats_project_before_state_shuffle(spark, tmp_path):
+    """Only the three columns the state function reads may cross the
+    state shuffle / Arrow boundary: applyInPandasWithState is opaque to
+    Catalyst, so without the operator's own projection every input
+    column (event_id, event_type, the props JSON payload) is shuffled
+    to the state partitioning and serialized to Python per micro-batch."""
+    import re
+
+    from redshift_to_lakehouse_migration_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    events = load(spark, SF, "events")           # full 6-column schema
+    src = tmp_path / "proj_stream"
+    events.limit(5).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*")))
+    plan = running_user_stats(stream) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert re.search(
+        r"Project \[user_id#\d+L?, ts#\d+, value#\d+\]", plan), plan
+
+
 def test_ingest_stream_writes_full_lineage_columns(spark, tmp_path):
     """The stream path must emit the SAME metadata columns as the batch
     path (bronze.add_metadata_columns) — an earlier hand-rolled subset

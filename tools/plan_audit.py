@@ -63,10 +63,11 @@ DECLARED_BOUNDED_HINTS: dict[str, tuple[list, str]] = {
     "audit_principal_last7d": (
         [["events"]], "one-row high-water-mark aggregate"),
     "contamination_check": (
-        [["documents"]],
+        [["<leaf:LogicalRDD>"]],
         "benchmark gram set — external-benchmark-sized; the doc_id%MOD "
         "slice is the harness stand-in, deployment side is a fixed "
-        "eval-suite artifact"),
+        "eval-suite artifact (reads the localCheckpointed gram table, "
+        "hence the LogicalRDD leaf)"),
     "corpus_funnel": (
         [["documents"]],
         "same benchmark gram set as contamination_check"),
