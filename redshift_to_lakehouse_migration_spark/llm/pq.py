@@ -69,10 +69,18 @@ def _l2sq(a, b) -> F.Column:
     return F.nanvl(raw, F.lit(None).cast("double"))
 
 
-def assign_codes(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+def assign_codes(sub: DataFrame, codebook: DataFrame,
+                 keep_subvec: bool = True) -> DataFrame:
     """Nearest centroid per (vec, subspace): broadcast the codebook,
     argmin-L2 as a hash aggregate (lexicographic max over
-    (-dist, -code)) — the shuffle carries one row per subvector."""
+    (-dist, -code)) — the shuffle carries one row per subvector.
+
+    ``keep_subvec=False`` drops the subvector payload from the argmin
+    struct: identical codes, but the per-(subvector × codeword) scored
+    row no longer copies the subvec array into its struct and the
+    aggregate shuffle carries (vec_id, subspace, code) only — encoding
+    needs the code, not the floats (guide §2.3). Training keeps the
+    payload (the centroid update consumes it)."""
     cb = codebook.select("subspace", F.col("code").alias("code"),
                          F.col("centroid").alias("__c"))
     scored = (sub.join(F.broadcast(cb), "subspace")
@@ -81,11 +89,15 @@ def assign_codes(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     best = F.max(F.struct(
         (-F.col("__d")).alias("neg_d"),
         (-F.col("code")).alias("neg_code"),
-        F.col("subvec").alias("sv"))).alias("b")
-    return (scored.groupBy("vec_id", "subspace").agg(best)
-            .select("vec_id", "subspace",
-                    (-F.col("b.neg_code")).cast("int").alias("code"),
-                    F.col("b.sv").alias("subvec")))
+        *([] if not keep_subvec
+          else [F.col("subvec").alias("sv")]))).alias("b")
+    out = scored.groupBy("vec_id", "subspace").agg(best)
+    if not keep_subvec:
+        return out.select("vec_id", "subspace",
+                          (-F.col("b.neg_code")).cast("int").alias("code"))
+    return out.select("vec_id", "subspace",
+                      (-F.col("b.neg_code")).cast("int").alias("code"),
+                      F.col("b.sv").alias("subvec"))
 
 
 def _update_codebook(assigned: DataFrame) -> DataFrame:
@@ -131,7 +143,7 @@ def train_codebook(sub: DataFrame, init: DataFrame,
 
 def encode(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, codes array<int> ordered by subspace) — the compressed rep."""
-    assigned = assign_codes(sub, codebook)
+    assigned = assign_codes(sub, codebook, keep_subvec=False)
     return (assigned.groupBy("vec_id")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("subspace", "code"))),

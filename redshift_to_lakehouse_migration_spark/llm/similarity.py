@@ -228,13 +228,23 @@ def cosine_near_pairs(assigned: DataFrame, threshold: float,
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
                vec_col: str, centroid_id_col: str, centroid_vec_col: str,
-               nprobe: int = 1, round_digits: int | None = 9) -> DataFrame:
+               nprobe: int = 1, round_digits: int | None = 9,
+               keep_vec: bool = True) -> DataFrame:
     """IVF coarse quantization: assign every vector to its ``nprobe``
     nearest centroids by cosine (deterministic tie-break on centroid id).
     Centroids broadcast; the corpus streams — one pass, the only shuffle is
     the per-vector argmax window. nprobe=1 builds the inverted lists;
     nprobe>1 is the multi-probe query-side assignment.
-    Output: (vec_id, embedding, centroid_id)."""
+    Output: (vec_id, embedding, centroid_id).
+
+    ``keep_vec=False`` outputs only (vec_id, centroid_id) — identical
+    assignment, minus the vector payload. Catalyst cannot prune a column
+    out of an aggregate's max-struct expression, so a caller that drops
+    the embedding right after (the IVF-PQ list builders: candidates come
+    from the centroid join, distances from codes) would otherwise pay a
+    dim-sized struct copy per (row × centroid) scored pair AND ship the
+    vector through the shuffle for nothing (guide §2.3 — project before
+    the exchange)."""
     # norms once per corpus row / per centroid, not per (row × centroid)
     # pair (cosine_prenormed: one O(d) fold per pair instead of three)
     c = centroids.select(F.col(centroid_id_col).alias("centroid_id"),
@@ -259,19 +269,26 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
         best = F.max(F.struct(
             F.col("__c_sim").alias("s"),
             (-F.col("centroid_id")).alias("neg_cid"),
-            F.col("embedding").alias("emb"))).alias("best")
-        return (
-            scored.groupBy("vec_id").agg(best)
-            .select("vec_id", F.col("best.emb").alias("embedding"),
-                    (-F.col("best.neg_cid")).alias("centroid_id"))
-        )
+            *([] if not keep_vec
+              else [F.col("embedding").alias("emb")]))).alias("best")
+        out = scored.groupBy("vec_id").agg(best)
+        if not keep_vec:
+            return out.select(
+                "vec_id", (-F.col("best.neg_cid")).alias("centroid_id"))
+        return out.select(
+            "vec_id", F.col("best.emb").alias("embedding"),
+            (-F.col("best.neg_cid")).alias("centroid_id"))
     w = W.partitionBy("vec_id").orderBy(
         F.col("__c_sim").desc(), F.col("centroid_id"))
+    if not keep_vec:
+        # prune the vector BEFORE the window exchange, not after it
+        scored = scored.select("vec_id", "centroid_id", "__c_sim")
     return (
         scored
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= nprobe)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id",
+                *(["embedding"] if keep_vec else []), "centroid_id")
     )
 
 

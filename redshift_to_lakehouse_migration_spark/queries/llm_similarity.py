@@ -245,13 +245,18 @@ def _ivf_lists(e):
     """Shared IVF pieces: coarse centroids (every 64th vector), corpus
     inverted lists (nprobe=1), multi-probe query lists (nprobe=2)."""
     coarse = e.filter(F.col("vec_id") % 64 == 0)
+    # keep_vec=False: the PQ compositions take candidates from the
+    # centroid join and distances from codes — the embedding would be
+    # dropped right here, AFTER paying a 64-double struct copy per
+    # (vector × centroid) scored pair and a vector-wide shuffle row
+    # (guide §2.3: Catalyst cannot prune inside the argmax struct).
     lists = sim.ivf_assign(e, coarse, "vec_id", "embedding",
-                           "vec_id", "embedding", nprobe=1) \
-        .select("vec_id", "centroid_id")
+                           "vec_id", "embedding", nprobe=1,
+                           keep_vec=False)
     probe_vecs = e.filter(F.col("vec_id") % 50 == 0)
     probe_lists = sim.ivf_assign(probe_vecs, coarse, "vec_id", "embedding",
-                                 "vec_id", "embedding", nprobe=2) \
-        .select("vec_id", "centroid_id")
+                                 "vec_id", "embedding", nprobe=2,
+                                 keep_vec=False)
     return lists, probe_vecs, probe_lists
 
 
