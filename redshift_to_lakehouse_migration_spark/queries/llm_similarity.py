@@ -81,8 +81,13 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact search stays viable only while |probes| is broadcast-sized;
     past that, switch to the IVF/PQ entries (this entry is their recall
     baseline, not the scale path)."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
-    probes = e.filter(F.col("vec_id") % 50 == 0)
+    e_raw = load(spark, sf_dir, "embeddings")
+    e = spread(e_raw, spark)
+    # probe set from the BARE scan: it only feeds the broadcast build, and
+    # deriving it from the spread corpus would run spread's full
+    # repartition map pass just to collect ~2% of rows (guide §2.4 —
+    # remove shuffles outright; same rows and values either way)
+    probes = e_raw.filter(F.col("vec_id") % 50 == 0)
     topk = sim.cosine_topk(e, probes, "vec_id", "embedding", k=5)
     labels = e.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("label").alias("neighbor_label"))
@@ -144,12 +149,16 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly with the corpus, the floor for unstructured geometry. This
     registered entry keeps the cheap fixed nprobe=2 because the driver
     gate checks algorithm ≡ oracle, not retrieval quality."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
-    centroids = e.filter(F.col("vec_id") % 64 == 0)
+    e_raw = load(spark, sf_dir, "embeddings")
+    e = spread(e_raw, spark)
+    # centroid/probe subtrees from the bare scan (broadcast-sized sides;
+    # routing them through spread would replay its repartition shuffle
+    # per broadcast build — same rows, one less exchange, guide §2.4)
+    centroids = e_raw.filter(F.col("vec_id") % 64 == 0)
     lists = sim.ivf_assign(e, centroids, "vec_id", "embedding",
                            "vec_id", "embedding", nprobe=1)
     probes = (
-        sim.ivf_assign(e.filter(F.col("vec_id") % 50 == 0), centroids,
+        sim.ivf_assign(e_raw.filter(F.col("vec_id") % 50 == 0), centroids,
                        "vec_id", "embedding", "vec_id", "embedding",
                        nprobe=2)
         .select(F.col("vec_id").alias("query_id"),
@@ -200,9 +209,14 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohesion. Iterative — no SQL oracle (rows-only per driver contract);
     objective monotonicity is asserted in tests/test_kmeans.py."""
     from ..llm import kmeans as km
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
-    corpus = km.normalize_corpus(e, "vec_id", "embedding")
-    init = corpus.filter(F.col("vec_id") % 64 == 0) \
+    e_raw = load(spark, sf_dir, "embeddings")
+    corpus = km.normalize_corpus(spread(e_raw, spark), "vec_id", "embedding")
+    # init from the bare scan: same rows and unit vectors, but
+    # kmeans_fit's dimension-probe first() and the iteration-1 broadcast
+    # build no longer replay spread's full repartition map pass
+    # (measured 3.78 -> 3.47 s interleaved medians, results identical)
+    init = km.normalize_corpus(
+        e_raw.filter(F.col("vec_id") % 64 == 0), "vec_id", "embedding") \
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
     trained = km.kmeans_fit(corpus, init, iters=2)
     assigned = sim.ivf_assign(corpus, trained, "vec_id", "embedding",
@@ -221,16 +235,26 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_codebook(e):
+def _pq_codebook(e, e_raw):
     """Shared PQ training pieces: subvectors, deterministic seed init,
     one Lloyd iteration, codes. ONE definition — the three PQ queries
     previously carried verbatim copies whose parameters (m, seed rule,
-    iters) had to be edited in lockstep."""
+    iters) had to be edited in lockstep.
+
+    ``e``: the spread corpus (training assignment + encode scan it in
+    full — CPU-bound per-row work that must not serialize on one core).
+    ``e_raw``: the bare scan; the seed-init and probe subtrees (a few
+    percent of rows, all feeding broadcast builds) derive from it so
+    they don't replay spread's repartition map pass per build (guide
+    §2.4; identical rows either way — the returned ``sub_raw`` is the
+    probe-side subvector table)."""
     from pyspark.sql import Window as W
 
     from ..llm import pq
     sub = pq.split_subvectors(e, "vec_id", "embedding", m=4, dim=_DIM)
-    seeds = sub.filter(F.col("vec_id") % 64 == 0)
+    sub_raw = pq.split_subvectors(e_raw, "vec_id", "embedding",
+                                  m=4, dim=_DIM)
+    seeds = sub_raw.filter(F.col("vec_id") % 64 == 0)
     init = seeds.select(
         "subspace",
         (F.row_number().over(W.partitionBy("subspace").orderBy("vec_id"))
@@ -238,13 +262,17 @@ def _pq_codebook(e):
         F.col("subvec").alias("centroid"))
     codebook = pq.train_codebook(sub, init, iters=1)
     codes = pq.encode(sub, codebook)
-    return sub, codebook, codes
+    return sub_raw, codebook, codes
 
 
-def _ivf_lists(e):
+def _ivf_lists(e, e_raw):
     """Shared IVF pieces: coarse centroids (every 64th vector), corpus
-    inverted lists (nprobe=1), multi-probe query lists (nprobe=2)."""
-    coarse = e.filter(F.col("vec_id") % 64 == 0)
+    inverted lists (nprobe=1), multi-probe query lists (nprobe=2).
+
+    ``e_raw`` (bare scan) feeds the coarse-centroid and probe subtrees —
+    broadcast-sized sides that would otherwise replay spread's
+    repartition map pass per broadcast build (guide §2.4)."""
+    coarse = e_raw.filter(F.col("vec_id") % 64 == 0)
     # keep_vec=False: the PQ compositions take candidates from the
     # centroid join and distances from codes — the embedding would be
     # dropped right here, AFTER paying a 64-double struct copy per
@@ -253,7 +281,7 @@ def _ivf_lists(e):
     lists = sim.ivf_assign(e, coarse, "vec_id", "embedding",
                            "vec_id", "embedding", nprobe=1,
                            keep_vec=False)
-    probe_vecs = e.filter(F.col("vec_id") % 50 == 0)
+    probe_vecs = e_raw.filter(F.col("vec_id") % 50 == 0)
     probe_lists = sim.ivf_assign(probe_vecs, coarse, "vec_id", "embedding",
                                  "vec_id", "embedding", nprobe=2,
                                  keep_vec=False)
@@ -275,9 +303,10 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance table grows M×K per probe), and the recall@10 ≥ 0.9 gate
     in tests/test_pq.py is the regression pin for any re-tune."""
     from ..llm import pq
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
-    sub, codebook, codes = _pq_codebook(e)
-    probes = sub.filter(F.col("vec_id") % 50 == 0)
+    e_raw = load(spark, sf_dir, "embeddings")
+    e = spread(e_raw, spark)
+    sub_raw, codebook, codes = _pq_codebook(e, e_raw)
+    probes = sub_raw.filter(F.col("vec_id") % 50 == 0)
     return pq.adc_topk(codes, probes, codebook, k=5) \
         .orderBy("query_id", "rank")
 
@@ -294,10 +323,11 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PQ knobs follow `knn_pq_adc` (recall bought with M·log2(K) bits
     per vector, M before K)."""
     from ..llm import pq
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
-    lists, _probe_vecs, probe_lists = _ivf_lists(e)
-    sub, codebook, codes = _pq_codebook(e)
-    probes_sub = sub.filter(F.col("vec_id") % 50 == 0)
+    e_raw = load(spark, sf_dir, "embeddings")
+    e = spread(e_raw, spark)
+    lists, _probe_vecs, probe_lists = _ivf_lists(e, e_raw)
+    sub_raw, codebook, codes = _pq_codebook(e, e_raw)
+    probes_sub = sub_raw.filter(F.col("vec_id") % 50 == 0)
     return pq.adc_topk_within_lists(codes, lists, probes_sub, probe_lists,
                                     codebook, k=5) \
         .orderBy("query_id", "rank")
@@ -317,13 +347,18 @@ def knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONSTANT as the corpus grows — refine cost is probes x 10k rows,
     independent of N."""
     from ..llm import pq
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
-    lists, probe_vecs, probe_lists = _ivf_lists(e)
-    sub, codebook, codes = _pq_codebook(e)
-    probes_sub = sub.filter(F.col("vec_id") % 50 == 0)
+    e_raw = load(spark, sf_dir, "embeddings")
+    e = spread(e_raw, spark)
+    lists, probe_vecs, probe_lists = _ivf_lists(e, e_raw)
+    sub_raw, codebook, codes = _pq_codebook(e, e_raw)
+    probes_sub = sub_raw.filter(F.col("vec_id") % 50 == 0)
     cand = pq.adc_topk_within_lists(codes, lists, probes_sub, probe_lists,
                                     codebook, k=50)
-    return pq.refine_topk(cand, e, probe_vecs, "vec_id", "embedding", k=5) \
+    # refine's corpus side goes straight into a neighbor_id join (its own
+    # exchange); no per-row CPU work happens before it, so the spread
+    # repartition would be a wasted extra exchange — bare scan is right
+    return pq.refine_topk(cand, e_raw, probe_vecs, "vec_id", "embedding",
+                          k=5) \
         .orderBy("query_id", "rank")
 
 
