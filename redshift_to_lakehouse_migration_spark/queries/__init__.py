@@ -88,65 +88,64 @@ for _m in _MODULES:
 # cheapest-first within each tier (r7 sf0.1 bench medians) so an early
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- r11 mid-round rotation (tools/staleness.py --suggest on the
-    #    optimization-round tree): the 19 entries whose engine paths or
-    #    oracles changed this round lead (prenormed cosine family, the
-    #    percentile buffer consolidation, the jaccard/minhash/gram
-    #    checkpoints and components probe merge, the simhash bit-sum
-    #    votes, the spread additions, and the three oracle upgrades),
-    #    ordered cheapest-first within the stale tier; the remaining 31
-    #    slots are the least-recently-sampled fresh queries (newest green
-    #    round ASC) --
-    "knn_bruteforce",
-    "dedup_embedding_cosine",
+    # -- r11 close rotation (tools/staleness.py --suggest on the final
+    #    resumed-session tree): the 20 entries whose engine paths changed
+    #    this round lead (narrow-proxy funnel, keep_vec/keep_subvec
+    #    payload prunes, bare-scan small sides -- which touch the whole
+    #    embedding family incl. knn_pq_adc -- plus the earlier-session
+    #    checkpoint/prenorm/percentile work), cheapest-first within the
+    #    stale tier; the remaining 30 slots are the least-recently-
+    #    sampled fresh queries (newest green round ASC) --
     "price_percentiles_approx",
-    "knn_ivf",
-    "knn_lsh_bucketed",
     "dedup_simhash",
-    "recon_metrics_unpivot",
-    "recon_global_aggregates",
     "agg_pricing_summary",
-    "contamination_check",
+    "recon_global_aggregates",
+    "knn_lsh_bucketed",
+    "knn_bruteforce",
+    "recon_metrics_unpivot",
     "dedup_ngram_jaccard",
+    "knn_ivf",
+    "dedup_embedding_cosine",
     "dedup_simhash_pairs",
-    "dedup_minhash_lsh",
-    "kmeans_clusters",
-    "knn_ivfpq",
     "price_percentiles",
-    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "knn_pq_adc",
+    "contamination_check",
     "knn_ivfpq_refined",
+    "dedup_clusters",
+    "knn_ivfpq",
     "corpus_funnel",
+    "kmeans_clusters",
     "dq_accepted_values",
-    "masked_customers",
     "order_status_histogram",
-    "order_price_histogram",
-    "customers_without_orders",
+    "masked_customers",
     "dim_priority",
-    "dq_orphan_lineitems",
-    "latest_order_per_customer",
-    "order_version_history",
+    "order_price_histogram",
     "dim_part",
-    "supplier_region_summary",
+    "dq_orphan_lineitems",
+    "order_version_history",
+    "customers_without_orders",
+    "latest_order_per_customer",
     "events_sliding_windows",
-    "user_daily_activity",
+    "segment_status_pivot",
+    "segment_priority_pivot_dynamic",
     "fact_orders",
+    "sql_api_pricing_summary",
     "events_salted_type_totals",
     "stg_lineitem",
-    "customer_running_revenue",
-    "pack_sequences_rows",
-    "segment_priority_pivot_dynamic",
-    "segment_status_pivot",
-    "q10_returned_items",
-    "returned_or_open_orders",
-    "order_rank_in_segment",
-    "order_value_distribution",
-    "dq_duplicate_keys",
-    "sql_api_pricing_summary",
-    "events_json_props",
-    "revenue_rollup",
-    "orders_above_customer_average",
     "events_hourly_by_type",
+    "dq_duplicate_keys",
+    "user_daily_activity",
+    "supplier_region_summary",
     "status_priority_cube",
+    "pack_sequences_rows",
+    "returned_or_open_orders",
+    "order_value_distribution",
+    "events_json_props",
+    "orders_above_customer_average",
+    "revenue_rollup",
+    "order_rank_in_segment",
+    "customer_running_revenue",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
