@@ -438,18 +438,25 @@ def _normed_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                       n_perm: int = 32, band_rows: int = 4,
                       threshold: float = 0.5, k: int = 3,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      materialize: bool = True) -> DataFrame:
     """Near-dup pairs, inline: shingle → band → candidates → verify in one
-    plan. The shingle table is localCheckpointed: the verify stage joins
-    it twice and the size denominators read it once more on top of the
-    signature build — 4 evaluations of the scan→normalize→shingle explode
-    per action without the checkpoint (re-measured r11: 2.36 s → 2.23 s
-    median at sf0.1, and the effect compounds at larger SFs where the
-    corpus re-scan dominates). At cluster scale, use
+    plan. The shingle table is localCheckpointed (``materialize=True``,
+    the same toggle contract as :func:`jaccard_pairs`): the verify stage
+    joins it twice and the size denominators read it once more on top of
+    the signature build — 4 evaluations of the scan→normalize→shingle
+    explode per action without the checkpoint (re-measured r11: 2.36 s →
+    2.23 s median at sf0.1, and the effect compounds at larger SFs where
+    the corpus re-scan dominates). At cluster scale, use
     :func:`materialize_minhash` + :func:`minhash_pairs_from_tables`
     instead — one corpus scan total, parquet-backed (replicated) tables."""
     sh = shingles(_normed_docs(docs, id_col, text_col), "doc_id", "norm",
-                  k=k).localCheckpoint(eager=False)
+                  k=k)
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
+    # the band-table checkpoint inside _lsh_candidate_verify predates the
+    # shingle checkpoint (r10) and is NOT governed by this toggle — the
+    # toggle isolates exactly the r11-added site for A/B attribution
     bands = minhash_band_keys(sh, make_permutations(n_perm, seed), band_rows)
     return _lsh_candidate_verify(sh, bands, threshold)
 
