@@ -17,8 +17,9 @@ each round keeps lineage flat so 10 rounds cost 10× one round, not 2^10.
 propagation fails the job instead of recomputing, the same trade
 documented on `capped_band_candidates`; on a fault-prone cluster switch
 to `checkpoint()` with a checkpoint dir for replicated durability.)
-The convergence probe is a LIMIT-1 count — a driver scalar, not a
-collect of data. This is the standard large-star/small-star family
+The convergence probe is an ``Observation`` metric riding the one noop
+action that materializes each round's labels — a driver scalar, not a
+collect of data, and no extra job. This is the standard large-star/small-star family
 simplification that holds when components are small (dedup clusters);
 for web-scale giant components you would switch to alternating
 large/small-star rounds — same DataFrame skeleton.
@@ -26,7 +27,7 @@ large/small-star rounds — same DataFrame skeleton.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -60,8 +61,6 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
         # new-vs-old probe JOIN (two checkpoint scans + a shuffle);
         # measured ~0.1-0.15 s/round at sf0.1 across the three
         # components consumers (guide §2.4: fewer exchanges per round).
-        # lazy checkpoint: the convergence probe below is the action that
-        # materializes it — one job per round instead of two
         new_labels = (
             labels.select("node", "comp", F.col("comp").alias("__own"))
             .unionByName(nbr.withColumn("__own",
@@ -71,32 +70,38 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
                                  F.min("__own").alias("__old"))
             .localCheckpoint(eager=False)
         )
-        any_changed = (new_labels
-                       .filter(F.col("comp") < F.col("__old"))
-                       .limit(1).count())  # existence probe, not a count
+        # The probe is an Observation riding the ONE noop action that
+        # fully materializes the lazy checkpoint (VERDICT r11 #4,
+        # guide §2.4): the former `filter(changed).limit(1).count()`
+        # probe ran CollectLimit's incremental partition scans — extra
+        # jobs exactly in the converged round (scan-all-partitions is the
+        # worst case for limit), and partitions the early-out skipped
+        # were left to materialize inside the NEXT round's join job.
+        # One job per round, deterministic, and the real changed count
+        # is free for the non-convergence error path.
+        obs = Observation()
+        (new_labels
+         .observe(obs, F.sum(F.when(F.col("comp") < F.col("__old"), 1)
+                             .otherwise(0)).alias("changed"))
+         .write.format("noop").mode("overwrite").save())
+        n_changed = obs.get["changed"] or 0
         prev = labels
         labels = new_labels.select("node", "comp")
-        if any_changed == 0:
+        if n_changed == 0:
             break
     else:
         # Exhausting max_iter with labels still moving means the returned
         # components would be WRONG (a long near-dup chain only partially
         # collapsed), and downstream canonical-keeper selection would let
         # non-canonical near-dups survive silently. Fail loudly instead.
-        # The REAL moving-label count (the limit(1) probe above only proves
-        # existence) is worth one extra job on this failure-only path.
         if prev is labels:  # max_iter < 1: no iteration ran, nothing to diff
             raise RuntimeError(
                 f"connected_components did not converge: max_iter="
                 f"{max_iter} permitted no iterations"
             )
-        still_moving = (
-            labels.alias("n").join(prev.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp")).count()
-        )
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({still_moving} label(s) still changing); raise max_iter — "
+            f"({n_changed} label(s) still changing); raise max_iter — "
             "component diameter exceeds the iteration budget"
         )
     return labels
