@@ -86,9 +86,14 @@ def build_medallion_pipeline(spark: SparkSession, raw_dir: str | Path,
           lambda s, silver_policies: gold.build_dim_coverage(silver_policies),
           deps=["silver_policies"])
     p.add("fact_claims",
+          # The size-checked chooser (VERDICT r10 #5 / r11 #2): plain
+          # (broadcast) build while the policies join input fits the
+          # session broadcast budget, bucketed layout past it — identical
+          # rows either way; at the bench's 10k policies the estimate is
+          # far below the cap, so the flow keeps the plain plan.
           lambda s, silver_claims, silver_policies, silver_properties:
-          gold.build_fact_claims(silver_claims, silver_policies,
-                                 silver_properties),
+          gold.build_fact_claims_auto(s, silver_claims, silver_policies,
+                                      silver_properties),
           deps=["silver_claims", "silver_policies", "silver_properties"],
           materialize=str(warehouse / "fact_claims"),
           partition_by=["property_state"])

@@ -445,3 +445,40 @@ def test_gold_builders_hint_disciplined(pipeline_outputs, spark):
     }
     for name, df in frames.items():
         assert broadcast_hint_corpus_scans(df) == [], name
+
+
+def test_flow_fact_claims_goes_through_auto_chooser(
+        spark, raw_dir, tmp_path_factory, monkeypatch):
+    """VERDICT r11 #2: the registered flow's fact_claims node must route
+    through the size-checked chooser (``build_fact_claims_auto``) — the
+    r10-directed bucketed-gold policy was dead code while flow.py called
+    the plain build directly. At this fixture's 120 policies the estimate
+    is far below the broadcast cap, so the chooser must take the PLAIN
+    path (no bucketed tables persisted) and the published fact is
+    byte-identical to the plain build's."""
+    from redshift_to_lakehouse_migration_spark.medallion import gold
+
+    calls: dict[str, bool] = {}
+    real = gold.build_fact_claims_auto
+
+    def spy(s, claims, policies, properties, **kw):
+        calls["hit"] = True
+        return real(s, claims, policies, properties, **kw)
+
+    monkeypatch.setattr(gold, "build_fact_claims_auto", spy)
+    warehouse = tmp_path_factory.mktemp("warehouse_auto")
+    p = build_medallion_pipeline(spark, raw_dir, warehouse, AS_OF)
+    outputs, _ = p.run()
+    assert calls.get("hit"), "flow's fact_claims node bypassed the chooser"
+    # plain path chosen below the cap: no bucketed silver tables persisted
+    assert [t.name for t in spark.catalog.listTables()
+            if t.name.startswith("silver_bucketed_")] == []
+    # and the published rows equal the plain build over the same silvers
+    plain = gold.build_fact_claims(
+        outputs["silver_claims"], outputs["silver_policies"],
+        outputs["silver_properties"])
+    # column-align: the partitioned parquet read-back reorders columns
+    got = sorted(map(tuple,
+                     outputs["fact_claims"].select(*plain.columns).collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
