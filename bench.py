@@ -49,7 +49,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from redshift_to_lakehouse_migration_spark.queries import QUERIES
+from redshift_to_lakehouse_migration_spark.queries import ORACLES, QUERIES
 from redshift_to_lakehouse_migration_spark.session import get_spark
 
 
@@ -105,6 +105,13 @@ def _emit(full: dict) -> str:
             "subsec_entries": full["subsec_entries"],
             "subsec_spread_median": full["subsec_spread_median"],
             "subsec_spread_max": full["subsec_spread_max"],
+            # registry_n/oracle_n (VERDICT r11 #7): a shrunken registry or
+            # oracle set is machine-detectable from the one-line JSON —
+            # "queries dropped = 0" no longer requires reading the full
+            # artifact (the stdout `queries` map lists only TOP_N slowest,
+            # which churns every round)
+            "registry_n": full["registry_n"],
+            "oracle_n": full["oracle_n"],
             "canary_last_started_s": full["canary_last_started_s"],
             "canary_first_s": full["canary_first_s"],
             "canary_last_s": full["canary_last_s"],
@@ -283,6 +290,10 @@ def main() -> None:
         "sf": _sf_num if _sf_num is not None else sf,
         "n_queries": len(timings),
         "reps": reps,
+        # registered query count + oracle count at bench time — additions-
+        # only (VERDICT r11 #7); ORACLES import is at module top
+        "registry_n": len(QUERIES),
+        "oracle_n": len(ORACLES),
         # host-speed canary: identical synthetic work every round — to
         # compare BENCH_rN vs BENCH_rM, normalize per-entry medians by
         # canary_s(N)/canary_s(M) before reading any delta as a

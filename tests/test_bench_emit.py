@@ -43,6 +43,8 @@ def _full(n_queries: int = 98, name_len: int = 30) -> dict:
         "subsec_entries": 60,
         "subsec_spread_median": 0.4,
         "subsec_spread_max": 2.0,
+        "registry_n": n_queries,
+        "oracle_n": max(0, n_queries - 6),
         "notes": "synthetic",
     }
 
