@@ -88,64 +88,63 @@ for _m in _MODULES:
 # cheapest-first within each tier (r7 sf0.1 bench medians) so an early
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- r11 close rotation (tools/staleness.py --suggest on the final
-    #    resumed-session tree): the 20 entries whose engine paths changed
-    #    this round lead (narrow-proxy funnel, keep_vec/keep_subvec
-    #    payload prunes, bare-scan small sides -- which touch the whole
-    #    embedding family incl. knn_pq_adc -- plus the earlier-session
-    #    checkpoint/prenorm/percentile work), cheapest-first within the
-    #    stale tier; the remaining 30 slots are the least-recently-
-    #    sampled fresh queries (newest green round ASC) --
-    "price_percentiles_approx",
-    "dedup_simhash",
-    "agg_pricing_summary",
-    "recon_global_aggregates",
-    "knn_lsh_bucketed",
-    "knn_bruteforce",
-    "recon_metrics_unpivot",
-    "dedup_ngram_jaccard",
-    "knn_ivf",
-    "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
-    "price_percentiles",
-    "dedup_minhash_lsh",
-    "knn_pq_adc",
-    "contamination_check",
-    "knn_ivfpq_refined",
-    "dedup_clusters",
-    "knn_ivfpq",
-    "corpus_funnel",
-    "kmeans_clusters",
-    "dq_accepted_values",
-    "order_status_histogram",
-    "masked_customers",
-    "dim_priority",
-    "order_price_histogram",
-    "dim_part",
-    "dq_orphan_lineitems",
-    "order_version_history",
-    "customers_without_orders",
-    "latest_order_per_customer",
-    "events_sliding_windows",
-    "segment_status_pivot",
-    "segment_priority_pivot_dynamic",
-    "fact_orders",
-    "sql_api_pricing_summary",
-    "events_salted_type_totals",
-    "stg_lineitem",
-    "events_hourly_by_type",
-    "dq_duplicate_keys",
-    "user_daily_activity",
-    "supplier_region_summary",
-    "status_priority_cube",
+    # -- r12 rotation (tools/staleness.py --suggest on the r12 working
+    #    tree): the stale tier leads -- every query whose engine spans
+    #    changed this round (the materialize-toggle sites: jaccard/
+    #    minhash/simhash dedup family, contamination_check, corpus
+    #    funnel/prep, components consumers -- plus spans shifted by the
+    #    same-file edits), cheapest-first; the remaining slots are the
+    #    least-recently-sampled fresh queries (newest green round ASC) --
+    "doc_fingerprint",
+    "text_stats",
+    "token_count_bpe",
+    "mix_datasets",
+    "pack_sequences",
     "pack_sequences_rows",
-    "returned_or_open_orders",
-    "order_value_distribution",
-    "events_json_props",
-    "orders_above_customer_average",
-    "revenue_rollup",
-    "order_rank_in_segment",
-    "customer_running_revenue",
+    "dedup_exact",
+    "doc_repetition_filter",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "contamination_check",
+    "dedup_ngram_jaccard",
+    "knn_lsh_bucketed",
+    "corpus_prep",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "corpus_funnel",
+    "q10_returned_items",
+    "nation_market_share",
+    "audit_principal_last7d",
+    "q3_shipping_priority",
+    "audit_object_access",
+    "dim_customer",
+    "audit_anomalous_access",
+    "fuzzy_customer_pairs",
+    "fact_lineitem",
+    "premium_payment_summary",
+    "market_basket_pairs",
+    "top_customers_by_revenue",
+    "part_brand_revenue",
+    "stg_customer",
+    "dim_date",
+    "frame_sample_plan",
+    "sample_stratified",
+    "binary_metadata",
+    "stg_orders",
+    "sample_per_stratum",
+    "dq_documents",
+    "lang_id",
+    "events_daily_unique_users_hll",
+    "events_error_after_click",
+    "events_retention_cohorts",
+    "media_decode_stub",
+    "embedding_stats",
+    "events_asof_purchase",
+    "events_json_typed",
+    "events_daily_anomalies",
+    "events_daily_from_hourly",
+    "events_sessionized",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]

@@ -44,6 +44,18 @@ def _rows(df, cols):
     return sorted(map(tuple, df.select(*cols).collect()))
 
 
+def _struct_items(df):
+    """Field names inside every `max(struct(...))` aggregate of the
+    executed plan — ONE parser for both the negative assertions and their
+    positive controls, so a Spark version that changes expression
+    pretty-printing breaks the control loudly instead of making the
+    negative check vacuously pass (ADVICE r11)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [p.strip() for line in plan.splitlines()
+            if "max(struct(" in line
+            for p in line.split("struct(")[1].split(")")[0].split(",")]
+
+
 @pytest.mark.parametrize("nprobe", [1, 2])
 def test_keep_vec_false_matches_assignments(emb, centroids, nprobe):
     full = sim.ivf_assign(emb, centroids, "vec_id", "embedding",
@@ -59,16 +71,14 @@ def test_keep_vec_false_matches_assignments(emb, centroids, nprobe):
 def test_keep_vec_false_plan_carries_no_vector(emb, centroids):
     slim = sim.ivf_assign(emb, centroids, "vec_id", "embedding",
                           "vec_id", "embedding", nprobe=1, keep_vec=False)
-    plan = slim._jdf.queryExecution().executedPlan().toString()
     # the argmax aggregate must not build (nor shuffle) an `emb` slot
-    assert "emb" not in [p.strip() for line in plan.splitlines()
-                         if "max(struct(" in line
-                         for p in line.split("struct(")[1].split(")")[0]
-                         .split(",")]
+    assert "emb" not in _struct_items(slim)
+    # positive control THROUGH THE SAME PARSER (ADVICE r11): the
+    # payload-carrying twin's struct items must contain `emb`, proving
+    # the parser still reaches the field list on this Spark version
     full = sim.ivf_assign(emb, centroids, "vec_id", "embedding",
                           "vec_id", "embedding", nprobe=1)
-    fplan = full._jdf.queryExecution().executedPlan().toString()
-    assert "emb" in fplan  # the payload-carrying twin still has it
+    assert "emb" in _struct_items(full)
 
 
 @pytest.fixture(scope="module")
@@ -96,11 +106,10 @@ def test_keep_subvec_false_matches_codes(sub, codebook):
 
 def test_keep_subvec_false_plan_carries_no_subvec(sub, codebook):
     slim = pq.assign_codes(sub, codebook, keep_subvec=False)
-    plan = slim._jdf.queryExecution().executedPlan().toString()
-    assert "sv" not in [p.strip() for line in plan.splitlines()
-                        if "max(struct(" in line
-                        for p in line.split("struct(")[1].split(")")[0]
-                        .split(",")]
+    assert "sv" not in _struct_items(slim)
+    # positive control through the same parser (ADVICE r11)
+    full = pq.assign_codes(sub, codebook)
+    assert "sv" in _struct_items(full)
 
 
 def test_encode_uses_pruned_assignment(sub, codebook):

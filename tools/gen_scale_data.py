@@ -47,12 +47,27 @@ def _ts_us(base_iso: str) -> int:
     return np.datetime64(base_iso, "us").astype(np.int64)
 
 
+# Parquet row-group size (rows). None = pyarrow default (one giant group
+# for these table sizes — the driver testdata's layout, where every scan
+# stage starts on ONE populated split). VERDICT r11 #5: a multi-row-group
+# variant lets the bench measure real parallel scans, so spread()'s
+# single-file mitigation can be re-evaluated against a layout a
+# production table would actually have.
+ROW_GROUP_SIZE: int | None = None
+
+
 def write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    kw = {}
+    if ROW_GROUP_SIZE:
+        kw["row_group_size"] = ROW_GROUP_SIZE
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"), **kw)
     print(f"{name}: {table.num_rows} rows")
 
 
-def main(sf: float, out_dir: str, seed: int = 42) -> None:
+def main(sf: float, out_dir: str, seed: int = 42,
+         row_group_size: int | None = None) -> None:
+    global ROW_GROUP_SIZE
+    ROW_GROUP_SIZE = row_group_size
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     n_cust = int(150_000 * sf)
@@ -209,9 +224,12 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
     # identical token), so pre-fix directories regenerate instead of
     # being silently consumed with the old distribution.
     with open(os.path.join(out_dir, "_GEN_COMPLETE"), "w") as f:
-        f.write(f"sf={sf} seed={seed} gen=2\n")
+        f.write(f"sf={sf} seed={seed} gen=2"
+                + (f" rgs={row_group_size}" if row_group_size else "")
+                + "\n")
 
 
 if __name__ == "__main__":
     main(float(sys.argv[1]),
-         sys.argv[2] if len(sys.argv) > 2 else f"testdata_sf{sys.argv[1]}")
+         sys.argv[2] if len(sys.argv) > 2 else f"testdata_sf{sys.argv[1]}",
+         row_group_size=(int(sys.argv[3]) if len(sys.argv) > 3 else None))
