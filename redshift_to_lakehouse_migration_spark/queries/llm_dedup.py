@@ -18,13 +18,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup as D
-from ..tables import load, spread
+from ..tables import load
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # shingling/signature construction is CPU-bound per row: make sure the
-    # scan doesn't serialize it onto one core (no-op at cluster scale)
-    return spread(load(spark, sf_dir, "documents"), spark)
+    # Bare scan, NOT spread (r12; r6–r11 repartitioned here). The r11
+    # shingle/band localCheckpoints changed the calculus: the expensive
+    # per-row derivation now materializes ONCE, so round-robin-shuffling
+    # the raw text ahead of it costs more than the (single) narrow pass
+    # saves — measured at local[32] on the driver data, ABBA-interleaved
+    # spread-on/off medians: dedup_exact 0.81→0.35, dedup_clusters
+    # 3.48→2.86, dedup_minhash_lsh 2.64→2.33, dedup_simhash 1.46→1.34,
+    # dedup_simhash_pairs 2.21→2.05, dedup_ngram_jaccard neutral.
+    # At cluster scale spread was a no-op anyway (a large table scans
+    # as many partitions); the one regime it protected — a single
+    # huge one-row-group file — is an ingest-layout bug to fix at the
+    # writer (guide §2.5), not a cost every bench entry should carry.
+    return load(spark, sf_dir, "documents")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
