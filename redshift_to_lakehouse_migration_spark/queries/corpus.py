@@ -16,21 +16,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..llm.dedup import DEFAULT_SHINGLE_DF_CAP
-from ..tables import load
+from ..tables import SPREAD_TEXT_MIN_BYTES, load, spread
 from .curation import BENCH_MOD
 from .llm_text import _STOP_COUNT_SQL
 from .sampling import DEFAULT_CEILING, STRATUM_CEILING
 
 
 def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bare scan, NOT spread (r12): funnel()'s narrow proxy + capped-
+    # Size-adaptive spread (r12): funnel()'s narrow proxy + capped-
     # shingle localCheckpoints (r11) compute every expensive text pass
-    # ONCE, so repartitioning the raw text first costs a full-text
-    # shuffle it no longer amortizes — measured at local[32] on the
-    # driver data, ABBA spread-on/off: 6.56 → 5.34 s median. No-op
-    # difference at cluster scale (large tables scan wide already).
+    # ONCE, so repartitioning a SMALL corpus first costs a full-text
+    # shuffle it no longer amortizes — measured ABBA at local[32]:
+    # 6.56 → 5.34 s at 0.59 MB (bare wins), 13.6 → 10.8 s at ~3 MB
+    # (spread wins; the serial pass dominates). min_bytes takes the
+    # measured branch at each scale; no-op difference at cluster scale.
     from ..llm.pipeline import funnel
-    return funnel(load(spark, sf_dir, "documents"))
+    return funnel(spread(load(spark, sf_dir, "documents"), spark,
+                         min_bytes=SPREAD_TEXT_MIN_BYTES))
 
 
 QUERIES = {"corpus_funnel": corpus_funnel}

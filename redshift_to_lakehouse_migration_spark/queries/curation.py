@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions import bind
 from ..llm.bloom import bloom_filter_grams, build_gram_bloom, with_bloom_bits
 from ..llm.dedup import norm_text
-from ..tables import load
+from ..tables import SPREAD_TEXT_MIN_BYTES, load, spread
 
 # Word n-gram width for the contamination check (13 is the published
 # GPT-3/PaLM convention; 5 keeps overlap observable on the tiny test corpus).
@@ -43,12 +43,14 @@ def _gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine-level whitespace envelope stays pinned in
     tests/test_text_parity.py.
 
-    Bare scan, NOT spread (r12): the caller localCheckpoints this table,
-    so the gram build runs ONCE — repartitioning the raw text ahead of a
-    single narrow pass costs more than it saves (measured at local[32] on
-    the driver data, ABBA spread-on/off: contamination_check 1.44 → 1.04 s
-    median). No-op difference at cluster scale."""
-    d = load(spark, sf_dir, "documents")
+    Size-adaptive spread (r12): the caller localCheckpoints this table,
+    so the gram build runs ONCE — repartitioning a SMALL corpus ahead of
+    a single narrow pass costs more than it saves (measured ABBA at
+    local[32]: contamination_check 1.44 → 1.04 s at 0.59 MB where bare
+    wins, 3.39 → 2.73 s at ~3 MB where spread wins). min_bytes takes the
+    measured branch at each scale; no-op at cluster scale."""
+    d = spread(load(spark, sf_dir, "documents"), spark,
+               min_bytes=SPREAD_TEXT_MIN_BYTES)
     toks = F.split(norm_text(F.col("text")), " ")
     # bind: tokens as a lambda VARIABLE, not a lambda capture — captures
     # re-evaluate the split+regex per gram index (functions.bind)

@@ -18,23 +18,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup as D
-from ..tables import load
+from ..tables import SPREAD_TEXT_MIN_BYTES, load, spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bare scan, NOT spread (r12; r6–r11 repartitioned here). The r11
-    # shingle/band localCheckpoints changed the calculus: the expensive
-    # per-row derivation now materializes ONCE, so round-robin-shuffling
-    # the raw text ahead of it costs more than the (single) narrow pass
-    # saves — measured at local[32] on the driver data, ABBA-interleaved
-    # spread-on/off medians: dedup_exact 0.81→0.35, dedup_clusters
-    # 3.48→2.86, dedup_minhash_lsh 2.64→2.33, dedup_simhash 1.46→1.34,
-    # dedup_simhash_pairs 2.21→2.05, dedup_ngram_jaccard neutral.
-    # At cluster scale spread was a no-op anyway (a large table scans
-    # as many partitions); the one regime it protected — a single
-    # huge one-row-group file — is an ingest-layout bug to fix at the
-    # writer (guide §2.5), not a cost every bench entry should carry.
-    return load(spark, sf_dir, "documents")
+    # Size-adaptive spread (r12; r6–r11 repartitioned unconditionally).
+    # The r11 shingle/band localCheckpoints changed the calculus: the
+    # expensive per-row derivation materializes ONCE, so round-robin-
+    # shuffling a SMALL corpus ahead of it costs more than the single
+    # narrow pass saves — measured ABBA at local[32]: at 0.59 MB bare
+    # wins (dedup_exact 0.81→0.35, dedup_clusters 3.48→2.86,
+    # dedup_minhash_lsh 2.64→2.33, simhash family −7/−8%), at ~3 MB the
+    # serial pass dominates and spread wins (minhash 6.65→3.90, clusters
+    # 5.8→5.1). min_bytes picks the measured branch at each scale and
+    # stays a no-op at cluster scale (wide scans never trigger spread).
+    return spread(load(spark, sf_dir, "documents"), spark,
+                  min_bytes=SPREAD_TEXT_MIN_BYTES)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

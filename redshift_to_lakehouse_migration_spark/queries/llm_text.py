@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bind
 from ..llm.dedup import norm_text, ws_token_count
-from ..tables import load, spread
+from ..tables import SPREAD_TEXT_MIN_BYTES, load, spread
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
@@ -273,12 +273,14 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions the individual queries verify — one scan, one groupBy for
     the dedup, one for the stats; linear at 100 TB.
 
-    Bare scan, NOT spread (r12): Catalyst already reuses the
-    content_hash exchange across the keeper/labeled branches, so the
-    gate expressions run once — the raw-text repartition cost more than
-    it saved (measured at local[32] on the driver data, ABBA
-    spread-on/off: 1.33 → 1.18 s median; no-op difference at scale)."""
-    d = load(spark, sf_dir, "documents")
+    Size-adaptive spread (r12): Catalyst already reuses the content_hash
+    exchange across the keeper/labeled branches, so the gate expressions
+    run once — at small corpus sizes the raw-text repartition costs more
+    than it saves (measured ABBA at local[32]: 1.33 → 1.18 s at 0.59 MB),
+    while past the ``SPREAD_TEXT_MIN_BYTES`` crossover the serial gate
+    pass dominates and spread pays again; no-op at cluster scale."""
+    d = spread(load(spark, sf_dir, "documents"), spark,
+               min_bytes=SPREAD_TEXT_MIN_BYTES)
     text = F.col("text")
     norm = norm_text(text)
     n_chars = F.length(text)

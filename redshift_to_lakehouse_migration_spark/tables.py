@@ -49,7 +49,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+# Crossover for ``spread(min_bytes=SPREAD_TEXT_MIN_BYTES)`` call sites
+# whose expensive derivation is computed ONCE (localCheckpoint-backed
+# corpus paths, single-aggregate gates): below this input size the
+# round-robin shuffle's fixed cost (~0.3-0.5 s at local[32]: full-byte
+# exchange + 32-task scheduling across every downstream stage) exceeds
+# the serial-pass time it saves; above it the one-core pass dominates.
+# Both branches are MEASURED (r12, ABBA-interleaved at local[32]):
+# at 0.59 MB (driver sf0.1 documents) bare wins — dedup_exact 0.81→0.35,
+# contamination_check 1.44→1.04, corpus_funnel 6.56→5.34, dedup_clusters
+# 3.48→2.86, dedup_minhash_lsh 2.64→2.33; at ~3 MB (sf0.5 documents) the
+# direction inverts and spread wins — minhash 6.65→3.90, funnel
+# 13.6→10.8, clusters 5.8→5.1, contamination 3.4→2.7. 1 MiB sits inside
+# the measured crossover window, biased low because a wrongly-bare scan
+# degrades linearly with bytes while a wrongly-spread one costs a
+# bounded fixed shuffle.
+SPREAD_TEXT_MIN_BYTES = 1 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate (driver-side metadata; file bytes
+    for parquet scans). None when unavailable."""
+    try:
+        return int(str(df._jdf.queryExecution()
+                       .optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
+def spread(df: DataFrame, spark: SparkSession,
+           min_bytes: int | None = None) -> DataFrame:
     """Ensure at least ``defaultParallelism`` partitions before CPU-heavy
     per-row expressions (shingling, n-gram construction, signatures).
 
@@ -59,7 +88,22 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     cluster scale this is a NO-OP: a 100 TB table scans as tens of
     thousands of partitions, so the condition never triggers and no
     shuffle is added.
-    """
+
+    ``min_bytes``: when set, skip the repartition entirely while the
+    input's size ESTIMATE stays under it — the scale-adaptive form for
+    call sites whose downstream work runs once (checkpoint-backed paths):
+    under the threshold the shuffle's fixed cost exceeds the serial pass
+    it parallelizes (see ``SPREAD_TEXT_MIN_BYTES`` for the measured
+    crossover). ``None`` keeps the unconditional r6 behavior — right for
+    sites whose per-row work is extreme at ANY size (blocked Levenshtein,
+    un-checkpointed text analytics). An unavailable estimate falls
+    through to the unconditional path (never silently serialize).
+    Skipping also avoids the ~60 ms ``df.rdd`` partition-probe this
+    function otherwise pays per plan build."""
+    if min_bytes is not None:
+        est = _estimated_bytes(df)
+        if est is not None and est < min_bytes:
+            return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
