@@ -88,30 +88,44 @@ for _m in _MODULES:
 # cheapest-first within each tier (r7 sf0.1 bench medians) so an early
 # driver timeout costs the fewest rows.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- r12 rotation (tools/staleness.py --suggest on the r12 working
-    #    tree): the stale tier leads -- every query whose engine spans
-    #    changed this round (the materialize-toggle sites: jaccard/
-    #    minhash/simhash dedup family, contamination_check, corpus
-    #    funnel/prep, components consumers -- plus spans shifted by the
-    #    same-file edits), cheapest-first; the remaining slots are the
-    #    least-recently-sampled fresh queries (newest green round ASC) --
+    # -- r12 rotation (tools/staleness.py --suggest on the r12 tree):
+    #    the stale tier leads -- every query whose engine spans changed
+    #    this round (the size-adaptive spread() touches the whole
+    #    documents/embeddings-scanning surface, plus the materialize-
+    #    toggle dedup/curation/funnel sites and the components
+    #    consumers), cheapest-first within the tier; the remaining
+    #    slots are the least-recently-sampled fresh queries (newest
+    #    green round ASC) --
     "doc_fingerprint",
     "text_stats",
     "token_count_bpe",
-    "mix_datasets",
-    "pack_sequences",
-    "pack_sequences_rows",
+    "lang_id",
+    "media_decode_stub",
+    "embedding_stats",
+    "token_histogram",
     "dedup_exact",
+    "knn_bruteforce",
     "doc_repetition_filter",
+    "fuzzy_customer_pairs",
     "dedup_embedding_cosine",
+    "knn_ivf",
+    "ann_lsh_buckets",
+    "recon_global_aggregates",
+    "recon_metrics_unpivot",
     "dedup_simhash",
     "contamination_check",
     "dedup_ngram_jaccard",
     "knn_lsh_bucketed",
     "corpus_prep",
+    "price_percentiles",
+    "agg_pricing_summary",
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",
+    "knn_pq_adc",
+    "kmeans_clusters",
     "dedup_clusters",
+    "knn_ivfpq_refined",
+    "knn_ivfpq",
     "corpus_funnel",
     "q10_returned_items",
     "nation_market_share",
@@ -120,7 +134,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "audit_object_access",
     "dim_customer",
     "audit_anomalous_access",
-    "fuzzy_customer_pairs",
     "fact_lineitem",
     "premium_payment_summary",
     "market_basket_pairs",
@@ -133,18 +146,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "binary_metadata",
     "stg_orders",
     "sample_per_stratum",
-    "dq_documents",
-    "lang_id",
-    "events_daily_unique_users_hll",
-    "events_error_after_click",
-    "events_retention_cohorts",
-    "media_decode_stub",
-    "embedding_stats",
-    "events_asof_purchase",
-    "events_json_typed",
-    "events_daily_anomalies",
-    "events_daily_from_hourly",
-    "events_sessionized",
 )
 
 _missing = [n for n in DRIVER_SAMPLE_PRIORITY if n not in QUERIES]
