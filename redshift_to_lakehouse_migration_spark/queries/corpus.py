@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..llm.dedup import DEFAULT_SHINGLE_DF_CAP
-from ..tables import SPREAD_TEXT_MIN_BYTES, load, spread
+from ..tables import SPREAD_TEXT_MIN_BYTES_PER_CORE, load, spread
 from .curation import BENCH_MOD
 from .llm_text import _STOP_COUNT_SQL
 from .sampling import DEFAULT_CEILING, STRATUM_CEILING
@@ -32,7 +32,7 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured branch at each scale; no-op difference at cluster scale.
     from ..llm.pipeline import funnel
     return funnel(spread(load(spark, sf_dir, "documents"), spark,
-                         min_bytes=SPREAD_TEXT_MIN_BYTES))
+                         min_bytes_per_core=SPREAD_TEXT_MIN_BYTES_PER_CORE))
 
 
 QUERIES = {"corpus_funnel": corpus_funnel}

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions import bind
 from ..llm.bloom import bloom_filter_grams, build_gram_bloom, with_bloom_bits
 from ..llm.dedup import norm_text
-from ..tables import SPREAD_TEXT_MIN_BYTES, load, spread
+from ..tables import SPREAD_TEXT_MIN_BYTES_PER_CORE, load, spread
 
 # Word n-gram width for the contamination check (13 is the published
 # GPT-3/PaLM convention; 5 keeps overlap observable on the tiny test corpus).
@@ -50,7 +50,7 @@ def _gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins, 3.39 → 2.73 s at ~3 MB where spread wins). min_bytes takes the
     measured branch at each scale; no-op at cluster scale."""
     d = spread(load(spark, sf_dir, "documents"), spark,
-               min_bytes=SPREAD_TEXT_MIN_BYTES)
+               min_bytes_per_core=SPREAD_TEXT_MIN_BYTES_PER_CORE)
     toks = F.split(norm_text(F.col("text")), " ")
     # bind: tokens as a lambda VARIABLE, not a lambda capture — captures
     # re-evaluate the split+regex per gram index (functions.bind)

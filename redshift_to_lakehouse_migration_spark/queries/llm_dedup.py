@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup as D
-from ..tables import SPREAD_TEXT_MIN_BYTES, load, spread
+from ..tables import SPREAD_TEXT_MIN_BYTES_PER_CORE, load, spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,7 +33,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5.8→5.1). min_bytes picks the measured branch at each scale and
     # stays a no-op at cluster scale (wide scans never trigger spread).
     return spread(load(spark, sf_dir, "documents"), spark,
-                  min_bytes=SPREAD_TEXT_MIN_BYTES)
+                  min_bytes_per_core=SPREAD_TEXT_MIN_BYTES_PER_CORE)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bind
 from ..llm.dedup import norm_text, ws_token_count
-from ..tables import SPREAD_TEXT_MIN_BYTES, load, spread
+from ..tables import SPREAD_TEXT_MIN_BYTES_PER_CORE, load, spread
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
@@ -277,10 +277,10 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange across the keeper/labeled branches, so the gate expressions
     run once — at small corpus sizes the raw-text repartition costs more
     than it saves (measured ABBA at local[32]: 1.33 → 1.18 s at 0.59 MB),
-    while past the ``SPREAD_TEXT_MIN_BYTES`` crossover the serial gate
+    while past the ``SPREAD_TEXT_MIN_BYTES_PER_CORE`` crossover the serial gate
     pass dominates and spread pays again; no-op at cluster scale."""
     d = spread(load(spark, sf_dir, "documents"), spark,
-               min_bytes=SPREAD_TEXT_MIN_BYTES)
+               min_bytes_per_core=SPREAD_TEXT_MIN_BYTES_PER_CORE)
     text = F.col("text")
     norm = norm_text(text)
     n_chars = F.length(text)

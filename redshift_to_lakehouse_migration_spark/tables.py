@@ -49,22 +49,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# Crossover for ``spread(min_bytes=SPREAD_TEXT_MIN_BYTES)`` call sites
+# Per-core crossover for ``spread(min_bytes_per_core=...)`` call sites
 # whose expensive derivation is computed ONCE (localCheckpoint-backed
-# corpus paths, single-aggregate gates): below this input size the
-# round-robin shuffle's fixed cost (~0.3-0.5 s at local[32]: full-byte
-# exchange + 32-task scheduling across every downstream stage) exceeds
-# the serial-pass time it saves; above it the one-core pass dominates.
-# Both branches are MEASURED (r12, ABBA-interleaved at local[32]):
-# at 0.59 MB (driver sf0.1 documents) bare wins — dedup_exact 0.81→0.35,
+# corpus paths, single-aggregate gates). The repartition's fixed cost is
+# proportional to the TASK COUNT it schedules through every downstream
+# stage, while the serial one-core pass it parallelizes is proportional
+# to the BYTES — so the break-even input size scales with parallelism
+# and the scale-free floor is bytes PER CORE. Both branches are MEASURED
+# (r12, ABBA-interleaved): at local[32], 0.59 MB (18 KiB/core — under
+# the floor) runs faster bare — dedup_exact 0.81→0.35,
 # contamination_check 1.44→1.04, corpus_funnel 6.56→5.34, dedup_clusters
-# 3.48→2.86, dedup_minhash_lsh 2.64→2.33; at ~3 MB (sf0.5 documents) the
-# direction inverts and spread wins — minhash 6.65→3.90, funnel
-# 13.6→10.8, clusters 5.8→5.1, contamination 3.4→2.7. 1 MiB sits inside
-# the measured crossover window, biased low because a wrongly-bare scan
-# degrades linearly with bytes while a wrongly-spread one costs a
-# bounded fixed shuffle.
-SPREAD_TEXT_MIN_BYTES = 1 * 1024 * 1024
+# 3.48→2.86, dedup_minhash_lsh 2.64→2.33 — while ~3 MB (94 KiB/core,
+# over it) inverts and spread wins (minhash 6.65→3.90, funnel 13.6→10.8,
+# clusters 5.8→5.1, contamination 3.4→2.7); at local[8] the same 0.59 MB
+# is 74 KiB/core (over the floor) and spread indeed measures better on
+# the signature-heavy entries (minhash 2.06 vs 2.41, clusters 2.92 vs
+# 3.07; funnel/exact mildly prefer bare — the per-entry 8-core winners
+# contradict at one size, so the floor follows the heavier-cost side).
+# 64 KiB/core sits inside the 32-core-measured (18, 94) KiB/core window,
+# biased low because a wrongly-bare scan degrades linearly with bytes
+# while a wrongly-spread one costs a bounded fixed shuffle.
+SPREAD_TEXT_MIN_BYTES_PER_CORE = 64 * 1024
 
 
 def _estimated_bytes(df: DataFrame) -> int | None:
@@ -78,7 +83,7 @@ def _estimated_bytes(df: DataFrame) -> int | None:
 
 
 def spread(df: DataFrame, spark: SparkSession,
-           min_bytes: int | None = None) -> DataFrame:
+           min_bytes_per_core: int | None = None) -> DataFrame:
     """Ensure at least ``defaultParallelism`` partitions before CPU-heavy
     per-row expressions (shingling, n-gram construction, signatures).
 
@@ -89,22 +94,26 @@ def spread(df: DataFrame, spark: SparkSession,
     thousands of partitions, so the condition never triggers and no
     shuffle is added.
 
-    ``min_bytes``: when set, skip the repartition entirely while the
-    input's size ESTIMATE stays under it — the scale-adaptive form for
-    call sites whose downstream work runs once (checkpoint-backed paths):
-    under the threshold the shuffle's fixed cost exceeds the serial pass
-    it parallelizes (see ``SPREAD_TEXT_MIN_BYTES`` for the measured
-    crossover). ``None`` keeps the unconditional r6 behavior — right for
-    sites whose per-row work is extreme at ANY size (blocked Levenshtein,
-    un-checkpointed text analytics). An unavailable estimate falls
-    through to the unconditional path (never silently serialize).
-    Skipping also avoids the ~60 ms ``df.rdd`` partition-probe this
-    function otherwise pays per plan build."""
-    if min_bytes is not None:
-        est = _estimated_bytes(df)
-        if est is not None and est < min_bytes:
-            return df
+    ``min_bytes_per_core``: when set, skip the repartition entirely
+    while the input's size ESTIMATE stays under ``min_bytes_per_core ×
+    defaultParallelism`` — the scale-adaptive form for call sites whose
+    downstream work runs once (checkpoint-backed paths): under the floor
+    the shuffle's task-count-proportional fixed cost exceeds the
+    byte-proportional serial pass it parallelizes (measured crossover:
+    ``SPREAD_TEXT_MIN_BYTES_PER_CORE``). ``None`` keeps the
+    unconditional r6 behavior — right for sites whose per-row work is
+    extreme at ANY size (blocked Levenshtein, un-checkpointed text
+    analytics). An unavailable estimate falls through to the
+    unconditional path (never silently serialize). Skipping also avoids
+    the ~60 ms ``df.rdd`` partition-probe this function otherwise pays
+    per plan build. On a very large cluster the floor grows with the
+    core count, but a table that small needs no cluster-wide
+    parallelism, and genuinely large tables scan wide regardless."""
     target = spark.sparkContext.defaultParallelism
+    if min_bytes_per_core is not None:
+        est = _estimated_bytes(df)
+        if est is not None and est < min_bytes_per_core * target:
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
